@@ -1,0 +1,57 @@
+#!/usr/bin/env python
+"""Benchmark: 6-camera occupancy inference frames/sec/chip on the flagship
+model (OccNet base, 200x200x16 grid), bf16.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline normalises against the BASELINE.json north star: >=2x an
+A100-class PyTorch reference.  The reference repo publishes no wall-clock
+numbers (docs/getting_started.md:50-52 is "TBD"), and no GPU exists in this
+environment to measure one, so the A100 figure is the documented estimate in
+BASELINE.md (A100_EST_FPS below): BEVFormer-base-class models run ~3 fps on
+A100; vs_baseline = tpu_fps / (2 * A100_EST_FPS) — i.e. 1.0 == the 2x target.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+A100_EST_FPS = 3.0          # documented estimate, see BASELINE.md
+TARGET_MULT = 2.0
+
+
+def main():
+    import jax
+    from occnet_tpu.utils import enable_compilation_cache
+    from __graft_entry__ import entry
+
+    enable_compilation_cache()
+    fn, args = entry()
+    jfn = jax.jit(fn)
+
+    # warmup / compile
+    out = jfn(*args)
+    jax.block_until_ready(out)
+
+    iters = int(os.environ.get("BENCH_ITERS", "10"))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = jfn(*args)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / iters
+
+    batch = args[2].shape[0]
+    fps = batch / dt
+    print(json.dumps({
+        "metric": "6-cam occ inference frames/sec/chip (OccNet base, bf16)",
+        "value": round(fps, 3),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / (TARGET_MULT * A100_EST_FPS), 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,255 @@
+"""Typed configuration tree for occnet_tpu.
+
+Mirrors the key surface of the reference config
+(`projects/configs/bevformer/bevformer_base_occ.py` in the reference repo):
+point-cloud range, BEV grid, embedding dims, attention geometry, loss weights,
+optimizer/schedule.  The reference uses mmcv python-file configs with `_base_`
+inheritance and registry-driven dispatch; here the config is a frozen
+dataclass tree with dotted-path CLI overrides (see `apply_overrides`) —
+everything is static/hashable so it can close over jitted functions.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, Optional, Tuple
+
+# OpenOcc v2 classes (reference config bevformer_base_occ.py:22-27).
+OCC_CLASS_NAMES: Tuple[str, ...] = (
+    "car", "truck", "trailer", "bus", "construction_vehicle",
+    "bicycle", "motorcycle", "pedestrian", "traffic_cone", "barrier",
+    "driveable_surface", "other_flat", "sidewalk",
+    "terrain", "manmade", "vegetation", "free",
+)
+
+# Classes with flow supervision / AVE metric (reference ray_metrics.py:25-28).
+FLOW_CLASS_NAMES: Tuple[str, ...] = (
+    "car", "truck", "trailer", "bus", "construction_vehicle",
+    "bicycle", "motorcycle", "pedestrian",
+)
+
+
+@dataclass(frozen=True)
+class BackboneConfig:
+    """ResNet image backbone (reference config :48-58)."""
+    type: str = "resnet50"          # resnet50 | resnet101 | vovnet
+    frozen_stages: int = 1          # stem + stage1 get zero gradient
+    norm_eval: bool = True          # BN always uses running stats
+    out_indices: Tuple[int, ...] = (1, 2, 3)   # C3, C4, C5
+    # VoVNet variant spec name (used when type == "vovnet").
+    vovnet_spec: str = "V-99-eSE"
+
+
+@dataclass(frozen=True)
+class NeckConfig:
+    """FPN neck (reference config :59-66)."""
+    in_channels: Tuple[int, ...] = (512, 1024, 2048)
+    out_channels: int = 256
+    num_outs: int = 4
+    add_extra_convs: str = "on_output"
+    relu_before_extra_convs: bool = True
+
+
+@dataclass(frozen=True)
+class TSAConfig:
+    """Temporal self-attention geometry (reference config :110-113 and
+    temporal_self_attention.py defaults)."""
+    num_heads: int = 8
+    num_levels: int = 1
+    num_points: int = 4
+    num_bev_queue: int = 2
+    dropout: float = 0.1
+
+
+@dataclass(frozen=True)
+class SCAConfig:
+    """Spatial cross-attention geometry (reference config :114-123)."""
+    num_heads: int = 8
+    num_levels: int = 4
+    num_points: int = 8
+    dropout: float = 0.1
+    # Static top-k visible queries kept per camera (TPU replacement for the
+    # reference's dynamic per-camera rebatching, spatial_cross_attention.py
+    # :137-153).  0 => dense (all queries for all cameras, masked).
+    max_queries_per_cam: int = 0
+
+
+@dataclass(frozen=True)
+class EncoderConfig:
+    """BEVFormer encoder (reference config :101-128)."""
+    num_layers: int = 4
+    num_points_in_pillar: int = 8
+    ffn_dim: int = 512
+    ffn_dropout: float = 0.1
+    tsa: TSAConfig = field(default_factory=TSAConfig)
+    sca: SCAConfig = field(default_factory=SCAConfig)
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    embed_dims: int = 256
+    bev_h: int = 200
+    bev_w: int = 200
+    pillar_h: int = 16
+    out_dim: int = 32               # voxel decoder channels (transformer_occ.py:54)
+    num_classes: int = 17
+    num_cams: int = 6
+    num_feature_levels: int = 4
+    pc_range: Tuple[float, ...] = (-40.0, -40.0, -1.0, 40.0, 40.0, 5.4)
+    encoder: EncoderConfig = field(default_factory=EncoderConfig)
+    backbone: BackboneConfig = field(default_factory=BackboneConfig)
+    neck: NeckConfig = field(default_factory=NeckConfig)
+    use_grid_mask: bool = True      # reference config :46, detector ctor :52-53
+    grid_mask_prob: float = 0.7
+    use_cams_embeds: bool = True
+    rotate_prev_bev: bool = True    # temporal path (transformer_occ.py:195-205)
+    use_can_bus: bool = True
+    # bf16 compute with fp32 islands (point projection, softmax, losses).
+    compute_dtype: str = "bfloat16"
+    # Input image size after padding to size_divisor 32 (nuScenes 900x1600).
+    img_h: int = 928
+    img_w: int = 1600
+
+
+@dataclass(frozen=True)
+class LossConfig:
+    """CE occupancy + L1 flow (reference config :84-88)."""
+    occ_weight: float = 1.0
+    flow_weight: float = 0.25
+    use_mask: bool = False
+
+
+@dataclass(frozen=True)
+class OptimConfig:
+    """AdamW + cosine schedule (reference config :214-231)."""
+    lr: float = 2e-4
+    backbone_lr_mult: float = 0.1
+    weight_decay: float = 0.01
+    grad_clip_norm: float = 35.0
+    warmup_iters: int = 500
+    warmup_ratio: float = 1.0 / 3.0
+    min_lr_ratio: float = 1e-3
+    total_epochs: int = 24
+    steps_per_epoch: int = 28130    # train frames / global batch (set by data)
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    data_root: str = "data/nuscenes/"
+    train_ann: str = "nuscenes_infos_train_occ.pkl"
+    val_ann: str = "nuscenes_infos_val_occ.pkl"
+    batch_size_per_device: int = 1
+    # BGR mean/std normalisation (reference config :14-15 — std is 1.0).
+    img_mean: Tuple[float, ...] = (103.530, 116.280, 123.675)
+    img_std: Tuple[float, ...] = (1.0, 1.0, 1.0)
+    to_rgb: bool = False
+    workers: int = 4
+    shuffle: bool = True
+
+
+@dataclass(frozen=True)
+class EvalConfig:
+    """Ray-metric parameters (reference ray_metrics.py:14-16,63-86)."""
+    voxel_size: float = 0.4
+    occ_size: Tuple[int, int, int] = (200, 200, 16)
+    thresholds: Tuple[float, ...] = (1.0, 2.0, 4.0)
+    max_origins: int = 8            # ego origins per sample (ego_pose_extractor.py)
+    interval: int = 24
+
+
+@dataclass(frozen=True)
+class ParallelConfig:
+    """Mesh layout.  The reference is DP-only (SURVEY.md section 2.7); we expose
+    data and model axes so the BEV grid / cameras can shard over ICI."""
+    dp: int = -1                    # -1 => all devices on the data axis
+    mp: int = 1                     # model axis (BEV rows / cameras)
+
+
+@dataclass(frozen=True)
+class OccNetConfig:
+    model: ModelConfig = field(default_factory=ModelConfig)
+    loss: LossConfig = field(default_factory=LossConfig)
+    optim: OptimConfig = field(default_factory=OptimConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    eval: EvalConfig = field(default_factory=EvalConfig)
+    parallel: ParallelConfig = field(default_factory=ParallelConfig)
+    seed: int = 0
+    work_dir: str = "work_dirs/occnet_tpu"
+
+
+# ---------------------------------------------------------------------------
+# Named configs (the BASELINE.json config matrix).
+# ---------------------------------------------------------------------------
+
+def base_occ() -> OccNetConfig:
+    """OccNet base: R50, 200x200 BEV, 4-level FPN, 17 classes + flow.
+
+    Mirrors `bevformer_base_occ.py` in the reference.
+    """
+    return OccNetConfig()
+
+
+def tiny_occ() -> OccNetConfig:
+    """BEVFormer-tiny occ: small BEV grid / image for fast tests + CI."""
+    cfg = OccNetConfig()
+    model = dataclasses.replace(
+        cfg.model,
+        bev_h=50, bev_w=50, pillar_h=8, embed_dims=128, out_dim=16,
+        img_h=256, img_w=448,
+        encoder=dataclasses.replace(
+            cfg.model.encoder, num_layers=2, ffn_dim=256,
+            num_points_in_pillar=4),
+    )
+    return dataclasses.replace(cfg, model=model)
+
+
+CONFIGS = {
+    "base_occ": base_occ,
+    "tiny_occ": tiny_occ,
+}
+
+
+def get_config(name: str) -> OccNetConfig:
+    if name not in CONFIGS:
+        raise KeyError(f"unknown config '{name}'; available: {sorted(CONFIGS)}")
+    return CONFIGS[name]()
+
+
+# ---------------------------------------------------------------------------
+# Dotted-path overrides: the TPU-native replacement for mmcv --cfg-options
+# (reference tools/train.py:67-76,105-107).
+# ---------------------------------------------------------------------------
+
+def _convert(value: str, target: Any) -> Any:
+    if isinstance(target, bool):
+        return value.lower() in ("1", "true", "yes")
+    if isinstance(target, int):
+        return int(value)
+    if isinstance(target, float):
+        return float(value)
+    if isinstance(target, tuple):
+        elems = [v for v in value.strip("()[]").split(",") if v]
+        if len(target) > 0:
+            return tuple(type(target[0])(e) for e in elems)
+        return tuple(elems)
+    return value
+
+
+def apply_overrides(cfg: OccNetConfig, overrides: dict) -> OccNetConfig:
+    """Apply {'optim.lr': '1e-4', ...} style overrides to the frozen tree."""
+    for path, value in overrides.items():
+        keys = path.split(".")
+        # Walk down collecting the chain of dataclasses.
+        chain = [cfg]
+        for k in keys[:-1]:
+            chain.append(getattr(chain[-1], k))
+        leaf_name = keys[-1]
+        old = getattr(chain[-1], leaf_name)
+        new_leaf = _convert(value, old) if isinstance(value, str) else value
+        node = dataclasses.replace(chain[-1], **{leaf_name: new_leaf})
+        # Rebuild the chain bottom-up.
+        for parent, key in zip(reversed(chain[:-1]), reversed(keys[:-1])):
+            node = dataclasses.replace(parent, **{key: node})
+        cfg = node
+    return cfg

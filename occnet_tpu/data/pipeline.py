@@ -1,0 +1,113 @@
+"""Host-side preprocessing pipeline (pure numpy).
+
+Equivalents of the reference pipeline transforms
+(`datasets/pipelines/transform_3d.py`, `loading.py`):
+- `load_occ_gt`: labels.npz -> semantics [200,200,16] u8 + flow
+  [200,200,16,2] f32, zeros when absent (test split) (`loading.py:21-33`).
+- `photometric_distortion`: brightness/contrast/HSV-saturation/hue/channel-
+  swap jitter, each applied with p=0.5 (`transform_3d.py:102-199`).
+- `normalize_img`: per-channel mean/std (`transform_3d.py:65-99`).  Images
+  here are decoded RGB (the reference uses BGR via cv2), so pass RGB-ordered
+  mean/std — the channel permutation is absorbed by the weight converter.
+- `pad_to_divisor`: bottom/right zero-pad to a size multiple
+  (`transform_3d.py:11-62`).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+
+def load_occ_gt(occ_path: Optional[str],
+                occ_size: Tuple[int, int, int] = (200, 200, 16)):
+    if occ_path is not None and os.path.exists(occ_path):
+        labels = np.load(occ_path)
+        return (labels["semantics"].astype(np.uint8),
+                labels["flow"].astype(np.float32))
+    sem = np.zeros(occ_size, dtype=np.uint8)
+    flow = np.zeros(occ_size + (2,), dtype=np.float32)
+    return sem, flow
+
+
+# --- colour-space helpers (replacing mmcv.bgr2hsv / hsv2bgr; OpenCV HSV
+# convention: H in [0, 360), S,V in [0, 1] for float inputs scaled /255) -----
+
+def _rgb_to_hsv(img: np.ndarray) -> np.ndarray:
+    rgb = img / 255.0
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    maxc = rgb.max(-1)
+    minc = rgb.min(-1)
+    v = maxc
+    delta = maxc - minc
+    s = np.where(maxc > 0, delta / np.maximum(maxc, 1e-12), 0.0)
+    dz = np.maximum(delta, 1e-12)
+    h = np.where(maxc == r, (g - b) / dz % 6.0,
+                 np.where(maxc == g, (b - r) / dz + 2.0, (r - g) / dz + 4.0))
+    h = np.where(delta > 0, h * 60.0, 0.0)
+    return np.stack([h, s, v], axis=-1)
+
+
+def _hsv_to_rgb(hsv: np.ndarray) -> np.ndarray:
+    h, s, v = hsv[..., 0] / 60.0, hsv[..., 1], hsv[..., 2]
+    i = np.floor(h) % 6
+    f = h - np.floor(h)
+    p = v * (1 - s)
+    q = v * (1 - s * f)
+    t = v * (1 - s * (1 - f))
+    r = np.select([i == 0, i == 1, i == 2, i == 3, i == 4], [v, q, p, p, t], v)
+    g = np.select([i == 0, i == 1, i == 2, i == 3, i == 4], [t, v, v, q, p], p)
+    b = np.select([i == 0, i == 1, i == 2, i == 3, i == 4], [p, p, t, v, v], q)
+    return np.stack([r, g, b], axis=-1) * 255.0
+
+
+def photometric_distortion(
+    imgs: np.ndarray,                 # (N, H, W, 3) float32 RGB in [0,255]
+    rng: np.random.RandomState,
+    brightness_delta: float = 32.0,
+    contrast_range: Tuple[float, float] = (0.5, 1.5),
+    saturation_range: Tuple[float, float] = (0.5, 1.5),
+    hue_delta: float = 18.0,
+) -> np.ndarray:
+    out = []
+    for img in imgs:
+        img = img.astype(np.float32)
+        if rng.randint(2):
+            img = img + rng.uniform(-brightness_delta, brightness_delta)
+        mode = rng.randint(2)
+        if mode == 1 and rng.randint(2):
+            img = img * rng.uniform(*contrast_range)
+        hsv = _rgb_to_hsv(img)
+        if rng.randint(2):
+            hsv[..., 1] *= rng.uniform(*saturation_range)
+        if rng.randint(2):
+            h = hsv[..., 0] + rng.uniform(-hue_delta, hue_delta)
+            h = np.where(h > 360, h - 360, h)
+            h = np.where(h < 0, h + 360, h)
+            hsv[..., 0] = h
+        img = _hsv_to_rgb(hsv)
+        if mode == 0 and rng.randint(2):
+            img = img * rng.uniform(*contrast_range)
+        if rng.randint(2):
+            img = img[..., rng.permutation(3)]
+        out.append(img.astype(np.float32))
+    return np.stack(out)
+
+
+def normalize_img(imgs: np.ndarray, mean: Sequence[float],
+                  std: Sequence[float]) -> np.ndarray:
+    mean = np.asarray(mean, np.float32)
+    std = np.asarray(std, np.float32)
+    return (imgs.astype(np.float32) - mean) / std
+
+
+def pad_to_divisor(imgs: np.ndarray, divisor: int = 32) -> np.ndarray:
+    """(N, H, W, C) -> bottom/right zero-padded to multiples of divisor."""
+    n, h, w, c = imgs.shape
+    ph = (-h) % divisor
+    pw = (-w) % divisor
+    if ph == 0 and pw == 0:
+        return imgs
+    return np.pad(imgs, ((0, 0), (0, ph), (0, pw), (0, 0)))

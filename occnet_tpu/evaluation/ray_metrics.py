@@ -1,0 +1,192 @@
+"""Ray-based RayIoU / mAVE / OccScore evaluation, fully on-device.
+
+TPU-native equivalent of the reference's `ray_metrics.py` + dvr CUDA stack:
+- `generate_lidar_rays`: the simulated-LiDAR ray fan (~44 pitch rings x 360
+  azimuths, `ray_metrics.py:63-86`) — pitch rings start at the 10 rings
+  -(pi/2 - atan(k+1)) then extend upward with the last ring spacing until
+  +0.21 rad (the nuScenes lidar FoV top).
+- `render_sample`: renders a semantic grid through every ego origin with the
+  DDA marcher (`ops/ray_march.py`), looks up per-hit class and flow
+  (`ray_metrics.py:89-143`), vmapped over origins, jitted.
+- `RayMetricAccumulator.update/finalize`: the TP/IoU/AVE counting of
+  `calc_metrics` (`ray_metrics.py:146-197`) in streaming form so the val set
+  never needs all point clouds in RAM at once (the reference accumulates all
+  6019 samples in memory, `apis/test.py`).
+- OccScore = 0.9 * mean(IoU@{1,2,4}) + 0.1 * max(1 - mAVE@2, 0)
+  (`ray_metrics.py:250-253`).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from occnet_tpu.config import FLOW_CLASS_NAMES, OCC_CLASS_NAMES
+from occnet_tpu.ops.ray_march import dda_raymarch
+
+_PC_RANGE = (-40.0, -40.0, -1.0, 40.0, 40.0, 5.4)
+_VOXEL_SIZE = 0.4
+NUM_CLASSES = len(OCC_CLASS_NAMES)          # 17, 'free' last
+FREE_ID = NUM_CLASSES - 1
+THRESHOLDS = (1.0, 2.0, 4.0)
+AVE_THRESHOLD_INDEX = 1                     # AVE uses threshold = 2m
+FLOW_CLASS_IDS = tuple(OCC_CLASS_NAMES.index(c) for c in FLOW_CLASS_NAMES)
+
+
+def generate_lidar_rays() -> np.ndarray:
+    """(R, 3) unit ray directions — the simulated LiDAR fan
+    (`ray_metrics.py:63-86`)."""
+    pitch = []
+    for k in range(10):
+        pitch.append(-(math.pi / 2 - math.atan(k + 1)))
+    while pitch[-1] < 0.21:
+        delta = pitch[-1] - pitch[-2]
+        pitch.append(pitch[-1] + delta)
+
+    rays = []
+    for p in pitch:
+        for az_deg in np.arange(0, 360, 1):
+            az = np.deg2rad(az_deg)
+            rays.append((np.cos(p) * np.cos(az),
+                         np.cos(p) * np.sin(az),
+                         np.sin(p)))
+    return np.asarray(rays, dtype=np.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("max_steps",))
+def render_sample(
+    sem: jax.Array,          # (X, Y, Z) int semantic grid
+    flow: jax.Array,         # (X, Y, Z, 2) flow grid
+    rays: jax.Array,         # (R, 3) unit directions (ego frame)
+    origins: jax.Array,      # (T, 3) ego origins (metres)
+    origin_valid: jax.Array,  # (T,) bool — padding mask for < max origins
+    max_steps: int = 448,
+):
+    """Render a semantic+flow grid along all rays from all origins.
+
+    Returns dict of (T, R) label/dist and (T, R, 2) flow, with `valid`
+    broadcast from origin_valid.  Distances in metres.
+    """
+    occ = (sem != FREE_ID)
+    offset = jnp.asarray(_PC_RANGE[:3], jnp.float32)
+
+    def render_one(origin):
+        o_vox = (origin - offset) / _VOXEL_SIZE
+        o_vox = jnp.broadcast_to(o_vox[None, :], rays.shape)
+        dist, coord, hit = dda_raymarch(occ, o_vox, rays,
+                                        max_steps=max_steps)
+        label = sem[coord[:, 0], coord[:, 1], coord[:, 2]]
+        fl = flow[coord[:, 0], coord[:, 1], coord[:, 2]]
+        return dist * _VOXEL_SIZE, label, fl
+
+    dist, label, fl = jax.vmap(render_one)(origins)
+    valid = jnp.broadcast_to(origin_valid[:, None], dist.shape)
+    return {"dist": dist, "label": label, "flow": fl, "valid": valid}
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _count_sample(pred: Dict[str, jax.Array], gt: Dict[str, jax.Array]):
+    """Per-sample TP/GT/pred counts + flow-error sums, vectorised over the
+    (T*R,) ray set.  Rays whose GT label is 'free' are excluded
+    (`ray_metrics.py:218-220`), as are padded origins."""
+    valid = gt["valid"].reshape(-1) & (gt["label"].reshape(-1) != FREE_ID)
+    p_label = pred["label"].reshape(-1)
+    g_label = gt["label"].reshape(-1)
+    p_dist = pred["dist"].reshape(-1)
+    g_dist = gt["dist"].reshape(-1)
+    l1 = jnp.abs(p_dist - g_dist)
+    flow_err = jnp.linalg.norm(
+        pred["flow"].reshape(-1, 2) - gt["flow"].reshape(-1, 2), axis=-1)
+
+    cls_ids = jnp.arange(NUM_CLASSES)
+    p_onehot = (p_label[:, None] == cls_ids[None, :]) & valid[:, None]
+    g_onehot = (g_label[:, None] == cls_ids[None, :]) & valid[:, None]
+    gt_cnt = g_onehot.sum(0)
+    pred_cnt = p_onehot.sum(0)
+
+    tp_cnt = []
+    ave_sum = []
+    ave_cnt = []
+    tp_cls = p_onehot & g_onehot
+    for thr in THRESHOLDS:
+        tp_mask = tp_cls & (l1 < thr)[:, None]
+        tp_cnt.append(tp_mask.sum(0))
+        ave_sum.append((tp_mask * flow_err[:, None]).sum(0))
+        ave_cnt.append(tp_mask.sum(0))
+    return {
+        "gt_cnt": gt_cnt,
+        "pred_cnt": pred_cnt,
+        "tp_cnt": jnp.stack(tp_cnt),
+        "ave_sum": jnp.stack(ave_sum),
+        "ave_cnt": jnp.stack(ave_cnt),
+    }
+
+
+class RayMetricAccumulator:
+    """Streaming accumulator for RayIoU/mAVE over the eval set."""
+
+    def __init__(self):
+        self.gt_cnt = np.zeros(NUM_CLASSES, np.int64)
+        self.pred_cnt = np.zeros(NUM_CLASSES, np.int64)
+        self.tp_cnt = np.zeros((len(THRESHOLDS), NUM_CLASSES), np.int64)
+        self.ave_sum = np.zeros((len(THRESHOLDS), NUM_CLASSES), np.float64)
+        self.ave_cnt = np.zeros((len(THRESHOLDS), NUM_CLASSES), np.int64)
+        self.num_samples = 0
+
+    def update(self, pred: Dict[str, jax.Array], gt: Dict[str, jax.Array]):
+        c = jax.device_get(_count_sample(pred, gt))
+        self.gt_cnt += c["gt_cnt"].astype(np.int64)
+        self.pred_cnt += c["pred_cnt"].astype(np.int64)
+        self.tp_cnt += c["tp_cnt"].astype(np.int64)
+        self.ave_sum += c["ave_sum"]
+        self.ave_cnt += c["ave_cnt"].astype(np.int64)
+        self.num_samples += 1
+
+    def finalize(self) -> Dict[str, np.ndarray]:
+        with np.errstate(divide="ignore", invalid="ignore"):
+            denom = self.gt_cnt + self.pred_cnt - self.tp_cnt
+            iou = np.where(denom > 0, self.tp_cnt / denom, np.nan)[:, :-1]
+            ave = np.full(NUM_CLASSES, np.nan)
+            j = AVE_THRESHOLD_INDEX
+            for i in FLOW_CLASS_IDS:
+                if self.ave_cnt[j, i] > 0:
+                    ave[i] = self.ave_sum[j, i] / self.ave_cnt[j, i]
+            ave = ave[:-1]
+        return {"iou": iou, "ave": ave}
+
+
+def occ_score_from_metrics(metrics: Dict[str, np.ndarray]) -> Dict[str, float]:
+    iou, ave = metrics["iou"], metrics["ave"]
+    miou = float(np.nanmean(iou))
+    mave = float(np.nanmean(ave)) if np.isfinite(ave).any() else 0.0
+    occ_score = miou * 0.9 + max(1.0 - mave, 0.0) * 0.1
+    per_thr = [float(np.nanmean(iou[j])) for j in range(len(THRESHOLDS))]
+    return {
+        "RayIoU": miou,
+        "RayIoU@1": per_thr[0],
+        "RayIoU@2": per_thr[1],
+        "RayIoU@4": per_thr[2],
+        "mAVE": mave,
+        "OccScore": occ_score,
+    }
+
+
+def format_metrics_table(metrics: Dict[str, np.ndarray]) -> str:
+    """Per-class IoU@{1,2,4}/AVE table (the PrettyTable of
+    `ray_metrics.py:228-248`), plain-text."""
+    iou, ave = metrics["iou"], metrics["ave"]
+    lines = [f"{'Class':<22}{'IoU@1':>8}{'IoU@2':>8}{'IoU@4':>8}{'AVE':>8}"]
+    for i, name in enumerate(OCC_CLASS_NAMES[:-1]):
+        vals = [iou[0][i], iou[1][i], iou[2][i], ave[i]]
+        cells = "".join(
+            f"{v:>8.3f}" if np.isfinite(v) else f"{'nan':>8}" for v in vals)
+        lines.append(f"{name:<22}{cells}")
+    mean_vals = [np.nanmean(iou[0]), np.nanmean(iou[1]), np.nanmean(iou[2]),
+                 np.nanmean(ave)]
+    lines.append(f"{'MEAN':<22}" + "".join(f"{v:>8.3f}" for v in mean_vals))
+    return "\n".join(lines)

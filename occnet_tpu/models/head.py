@@ -1,0 +1,103 @@
+"""BEVFormerOccHead: BEV query embedding + positional encoding + transformer,
+plus the occupancy/flow losses and the argmax decode.
+
+Equivalent of the reference `BEVFormerOccHead` (`bevformer_occ_head.py:
+32-216`): owns the (bev_h*bev_w, embed_dims) query table (:87-89), a learned
+2D positional encoding (config `bevformer_base_occ.py:130-135`), delegates to
+TransformerOcc, and computes CE(occ) + L1(flow) (:181-196) / softmax-argmax
+decode (:198-216).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from occnet_tpu.config import LossConfig, ModelConfig
+from occnet_tpu.models.positional import LearnedPositionalEncoding2D
+from occnet_tpu.models.transformer_occ import TransformerOcc
+
+
+class OccHead(nn.Module):
+    cfg: ModelConfig
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        c = self.cfg
+        self.bev_embedding = self.param(
+            "bev_embedding", nn.initializers.normal(stddev=1.0),
+            (c.bev_h * c.bev_w, c.embed_dims))
+        self.positional_encoding = LearnedPositionalEncoding2D(
+            num_feats=c.embed_dims // 2, row_num_embed=c.bev_h,
+            col_num_embed=c.bev_w, dtype=self.dtype,
+            name="positional_encoding")
+        self.transformer = TransformerOcc(c, dtype=self.dtype,
+                                          name="transformer")
+
+    def __call__(
+        self,
+        mlvl_feats: Sequence[jax.Array],
+        ego2img: jax.Array,
+        prev_bev: Optional[jax.Array] = None,
+        shift_ref_2d: Optional[jax.Array] = None,
+        *,
+        only_bev: bool = False,
+        train: bool = False,
+        deterministic: bool = True,
+    ):
+        b = mlvl_feats[0].shape[0]
+        bev_pos = self.positional_encoding(b)
+        if only_bev:
+            # History-BEV extraction path (`bevformer_occ_head.py:125-136`).
+            return self.transformer.get_bev_features(
+                mlvl_feats, self.bev_embedding, bev_pos, ego2img,
+                prev_bev=prev_bev, shift_ref_2d=shift_ref_2d,
+                deterministic=deterministic)
+        bev_embed, occ, flow = self.transformer(
+            mlvl_feats, self.bev_embedding, bev_pos, ego2img,
+            prev_bev=prev_bev, shift_ref_2d=shift_ref_2d, train=train,
+            deterministic=deterministic)
+        return {"bev_embed": bev_embed, "occ": occ, "flow": flow}
+
+
+def occ_flow_loss(
+    occ_logits: jax.Array,        # (B, X, Y, Z, num_classes)
+    flow_pred: jax.Array,         # (B, X, Y, Z, 2)
+    voxel_semantics: jax.Array,   # (B, X, Y, Z) int
+    voxel_flow: jax.Array,        # (B, X, Y, Z, 2)
+    loss_cfg: LossConfig,
+    mask_camera: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """CE over 640k voxels (mean) + L1 flow (mean over elements), weights 1.0 /
+    0.25 (`bevformer_base_occ.py:84-88`, `bevformer_occ_head.py:181-196`).
+
+    All loss math fp32 (the reference decorates loss with force_fp32).
+    """
+    num_classes = occ_logits.shape[-1]
+    logits = occ_logits.astype(jnp.float32).reshape(-1, num_classes)
+    labels = voxel_semantics.astype(jnp.int32).reshape(-1)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    ce = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
+
+    l1 = jnp.abs(flow_pred.astype(jnp.float32) -
+                 voxel_flow.astype(jnp.float32))
+
+    if loss_cfg.use_mask and mask_camera is not None:
+        m = mask_camera.reshape(-1).astype(jnp.float32)
+        denom = jnp.maximum(m.sum(), 1.0)
+        loss_occ = (ce * m).sum() / denom
+        loss_flow = (l1.reshape(-1, 2) * m[:, None]).sum() / (denom * 2.0)
+    else:
+        loss_occ = ce.mean()
+        loss_flow = l1.mean()
+    return loss_cfg.occ_weight * loss_occ, loss_cfg.flow_weight * loss_flow
+
+
+def get_occ(outs: dict) -> Tuple[jax.Array, jax.Array]:
+    """Softmax-argmax semantic decode + raw flow
+    (`bevformer_occ_head.py:198-216`)."""
+    occ = jnp.argmax(outs["occ"].astype(jnp.float32), axis=-1)
+    return occ, outs["flow"]

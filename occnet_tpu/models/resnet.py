@@ -1,0 +1,118 @@
+"""ResNet image backbone (flax.linen, NHWC, bf16-friendly).
+
+TPU-native equivalent of the reference's mmdet `ResNet` backbone config
+(`projects/configs/bevformer/bevformer_base_occ.py:48-58`): depth-50,
+out_indices (1,2,3) -> C3/C4/C5, `frozen_stages=1` (stem + stage 1 get no
+gradient), `norm_eval=True` (all BN uses running statistics — implemented as
+`FrozenBatchNorm`, whose mean/var live in the non-trainable `batch_stats`
+collection), "pytorch style" (stride on the 3x3 conv of each bottleneck, as in
+torchvision), so torchvision resnet50/101 checkpoints convert 1:1
+(`occnet_tpu.utils.torch_convert`).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+STAGE_BLOCKS = {
+    50: (3, 4, 6, 3),
+    101: (3, 4, 23, 3),
+}
+
+
+class FrozenBatchNorm(nn.Module):
+    """BatchNorm that always normalises with stored running statistics
+    (the `norm_eval=True` semantics of the reference backbone).  gamma/beta
+    remain trainable parameters; mean/var are fixed `batch_stats`."""
+    features: int
+    eps: float = 1e-5
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        mean = self.variable(
+            "batch_stats", "mean",
+            lambda: jnp.zeros((self.features,), jnp.float32)).value
+        var = self.variable(
+            "batch_stats", "var",
+            lambda: jnp.ones((self.features,), jnp.float32)).value
+        # Fold into a single multiply-add (fp32 stats, compute dtype output).
+        mul = (scale * jax.lax.rsqrt(var + self.eps)).astype(self.dtype)
+        add = (bias - mean * scale * jax.lax.rsqrt(var + self.eps)).astype(
+            self.dtype)
+        return x * mul + add
+
+
+class Bottleneck(nn.Module):
+    """1x1 -> 3x3(stride) -> 1x1 bottleneck with identity/projection shortcut
+    ("pytorch style": stride on the middle conv, like torchvision)."""
+    mid: int
+    stride: int = 1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        out_ch = self.mid * 4
+        conv = lambda f, k, s, name: nn.Conv(  # noqa: E731
+            f, (k, k), strides=(s, s), padding=[(k // 2, k // 2)] * 2,
+            use_bias=False, dtype=self.dtype, name=name,
+            kernel_init=nn.initializers.he_normal())
+        identity = x
+        y = conv(self.mid, 1, 1, "conv1")(x)
+        y = FrozenBatchNorm(self.mid, dtype=self.dtype, name="bn1")(y)
+        y = nn.relu(y)
+        y = conv(self.mid, 3, self.stride, "conv2")(y)
+        y = FrozenBatchNorm(self.mid, dtype=self.dtype, name="bn2")(y)
+        y = nn.relu(y)
+        y = conv(out_ch, 1, 1, "conv3")(y)
+        y = FrozenBatchNorm(out_ch, dtype=self.dtype, name="bn3")(y)
+        if identity.shape[-1] != out_ch or self.stride != 1:
+            identity = conv(out_ch, 1, self.stride, "downsample_conv")(x)
+            identity = FrozenBatchNorm(
+                out_ch, dtype=self.dtype, name="downsample_bn")(identity)
+        return nn.relu(y + identity)
+
+
+class ResNet(nn.Module):
+    """ResNet-50/101 trunk returning the feature maps named by out_indices
+    (0..3 -> C2..C5)."""
+    depth: int = 50
+    out_indices: Tuple[int, ...] = (1, 2, 3)
+    frozen_stages: int = 1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> Sequence[jax.Array]:
+        blocks = STAGE_BLOCKS[self.depth]
+        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
+                    use_bias=False, dtype=self.dtype, name="conv1",
+                    kernel_init=nn.initializers.he_normal())(x)
+        x = FrozenBatchNorm(64, dtype=self.dtype, name="bn1")(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+
+        if self.frozen_stages >= 0:
+            # Stem frozen: cut gradients into conv1/bn1 activations' params by
+            # stopping the gradient of the activation itself (parameters below
+            # receive zero grad — the frozen_stages semantics of the ref).
+            x = jax.lax.stop_gradient(x)
+
+        outs = []
+        mid = 64
+        for stage, n_blocks in enumerate(blocks):
+            for b in range(n_blocks):
+                stride = 2 if (b == 0 and stage > 0) else 1
+                x = Bottleneck(mid, stride=stride, dtype=self.dtype,
+                               name=f"layer{stage + 1}_{b}")(x)
+            if stage + 1 <= self.frozen_stages:
+                x = jax.lax.stop_gradient(x)
+            if stage in self.out_indices:
+                outs.append(x)
+            mid *= 2
+        return outs

@@ -1,0 +1,156 @@
+"""Training runtime: optimizer, LR schedule, jitted train step.
+
+TPU-native replacement for the reference's mmcv runner stack
+(`apis/mmdet_train.py:28-199` + hooks): the whole optimizer step — forward,
+CE+L1 loss, backward, global-norm clip 35, AdamW with per-group lr
+multipliers, cosine schedule with 500-iter linear warmup — is ONE jitted
+function over globally-sharded arrays; the DP gradient all-reduce appears
+automatically from the batch sharding (no DDP wrapper).
+
+Reference recipe being reproduced (`bevformer_base_occ.py:214-231`):
+AdamW lr 2e-4 wd 0.01, `img_backbone` lr_mult 0.1, grad_clip max_norm 35,
+CosineAnnealing to lr*1e-3 with linear warmup ratio 1/3.  Backbone
+frozen-stage parameters receive zero updates (`frozen_stages=1`).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import flax
+import jax
+import jax.numpy as jnp
+import optax
+
+from occnet_tpu.config import OccNetConfig
+from occnet_tpu.models.detector import OccNet
+from occnet_tpu.models.head import occ_flow_loss
+
+
+@flax.struct.dataclass
+class TrainState:
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+def make_lr_schedule(cfg: OccNetConfig) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    """mmcv CosineAnnealingLrUpdaterHook + linear warmup semantics
+    (`bevformer_base_occ.py:225-230`): during warmup,
+    lr = base * (1 - (1 - t/warmup_iters) * (1 - warmup_ratio)); after,
+    cosine from base to base*min_lr_ratio over total iters."""
+    o = cfg.optim
+    total_steps = o.total_epochs * o.steps_per_epoch
+
+    def schedule(step):
+        step = jnp.asarray(step, jnp.float32)
+        frac = jnp.clip(step / jnp.maximum(o.warmup_iters, 1), 0.0, 1.0)
+        warmup_mult = 1.0 - (1.0 - frac) * (1.0 - o.warmup_ratio)
+        progress = jnp.clip(step / max(total_steps, 1), 0.0, 1.0)
+        min_lr = o.lr * o.min_lr_ratio
+        cosine = min_lr + (o.lr - min_lr) * 0.5 * (1 +
+                                                   jnp.cos(jnp.pi * progress))
+        return cosine * jnp.where(step < o.warmup_iters, warmup_mult, 1.0)
+
+    return schedule
+
+
+def _lr_mult_tree(params: Any, cfg: OccNetConfig) -> Any:
+    """Per-parameter lr multiplier: 0 for frozen backbone stages,
+    backbone_lr_mult for the rest of the backbone, 1 elsewhere."""
+    frozen = cfg.model.backbone.frozen_stages
+
+    def mult_for_path(path: Tuple[str, ...]) -> float:
+        names = [getattr(p, "key", str(p)) for p in path]
+        if not names or names[0] != "backbone":
+            return 1.0
+        sub = names[1] if len(names) > 1 else ""
+        if sub in ("conv1", "bn1") and frozen >= 0:
+            return 0.0
+        for stage in range(1, frozen + 1):
+            if sub.startswith(f"layer{stage}_"):
+                return 0.0
+        return cfg.optim.backbone_lr_mult
+
+    return jax.tree_util.tree_map_with_path(
+        lambda path, _: mult_for_path(path), params)
+
+
+def make_optimizer(cfg: OccNetConfig, params: Any) -> optax.GradientTransformation:
+    schedule = make_lr_schedule(cfg)
+    mults = _lr_mult_tree(params, cfg)
+    return optax.chain(
+        optax.clip_by_global_norm(cfg.optim.grad_clip_norm),
+        optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
+        optax.add_decayed_weights(cfg.optim.weight_decay),
+        optax.scale_by_learning_rate(schedule),
+        # per-group lr multiplier / stage freezing
+        optax.multi_transform(
+            {1.0: optax.identity(),
+             cfg.optim.backbone_lr_mult: optax.scale(
+                 cfg.optim.backbone_lr_mult),
+             0.0: optax.set_to_zero()},
+            mults),
+    )
+
+
+def create_train_state(
+    cfg: OccNetConfig, rng: jax.Array, sample_batch: Dict[str, jax.Array],
+) -> Tuple[OccNet, TrainState]:
+    model = OccNet(cfg.model)
+    variables = model.init(
+        {"params": rng}, sample_batch["img"], sample_batch["ego2img"])
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    tx = make_optimizer(cfg, params)
+    opt_state = tx.init(params)
+    state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                       batch_stats=batch_stats, opt_state=opt_state)
+    return model, state
+
+
+def make_train_step(cfg: OccNetConfig, model: OccNet):
+    """Returns the jittable (state, batch, rng) -> (state, metrics) step."""
+    tx = None  # bound lazily against params structure on first call
+
+    def loss_fn(params, batch_stats, batch, rng):
+        rngs = {"dropout": jax.random.fold_in(rng, 0),
+                "grid_mask": jax.random.fold_in(rng, 1)}
+        outs, mutated = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            batch["img"], batch["ego2img"],
+            prev_bev=batch.get("prev_bev"),
+            train=True, rngs=rngs, mutable=["batch_stats"])
+        loss_occ, loss_flow = occ_flow_loss(
+            outs["occ"], outs["flow"], batch["voxel_semantics"],
+            batch["voxel_flow"], cfg.loss,
+            mask_camera=batch.get("mask_camera"))
+        loss = loss_occ + loss_flow
+        return loss, (loss_occ, loss_flow, mutated["batch_stats"])
+
+    def train_step(state: TrainState, batch, rng):
+        nonlocal tx
+        if tx is None:
+            tx = make_optimizer(cfg, state.params)
+        rng = jax.random.fold_in(rng, state.step)
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (loss, (loss_occ, loss_flow, new_stats)), grads = grad_fn(
+            state.params, state.batch_stats, batch, rng)
+        updates, new_opt_state = tx.update(grads, state.opt_state,
+                                           state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        metrics = {
+            "loss": loss,
+            "loss_occ": loss_occ,
+            "loss_flow": loss_flow,
+            "grad_norm": optax.global_norm(grads),
+            "lr": make_lr_schedule(cfg)(state.step),
+        }
+        new_state = TrainState(
+            step=state.step + 1, params=new_params,
+            batch_stats=new_stats, opt_state=new_opt_state)
+        return new_state, metrics
+
+    return train_step

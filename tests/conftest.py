@@ -1,0 +1,21 @@
+"""Test harness: force an 8-device virtual CPU platform so multi-chip sharding
+logic is exercised without TPU hardware (the strategy SURVEY.md section 4
+prescribes: XLA_FLAGS=--xla_force_host_platform_device_count=8).
+
+Note: this environment pre-imports jax via sitecustomize, so JAX_PLATFORMS in
+os.environ is read too early — `jax.config.update` is the reliable override.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_default_matmul_precision", "highest")
+
+assert len(jax.devices()) == 8, jax.devices()

@@ -1,0 +1,95 @@
+"""Deformable-attention core parity vs a torch grid_sample oracle.
+
+The oracle reimplements the semantics of mmcv's
+`multi_scale_deformable_attn_pytorch` (the reference's CPU cross-check for its
+CUDA kernel, `spatial_cross_attention.py:394-396`) directly with
+`torch.nn.functional.grid_sample` so our XLA/Pallas kernels are validated
+against an independent implementation.
+"""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+import jax.numpy as jnp
+
+from occnet_tpu.ops.msda import (
+    bilinear_sample,
+    multi_scale_deformable_attention,
+    multi_scale_deformable_attention_chunked,
+)
+
+
+def torch_msda_oracle(value, spatial_shapes, sampling_locations,
+                      attention_weights):
+    """value (B,V,H,D); loc (B,Q,H,L,P,2); weights (B,Q,H,L,P)."""
+    B, V, H, D = value.shape
+    _, Q, _, L, P, _ = sampling_locations.shape
+    splits = [h * w for h, w in spatial_shapes]
+    value_list = value.split(splits, dim=1)
+    out = torch.zeros(B, Q, H, D, dtype=torch.float64)
+    for lvl, (h, w) in enumerate(spatial_shapes):
+        v = value_list[lvl].permute(0, 2, 3, 1).reshape(B * H, D, h, w)
+        grid = sampling_locations[:, :, :, lvl] * 2 - 1       # (B,Q,H,P,2)
+        grid = grid.permute(0, 2, 1, 3, 4).reshape(B * H, Q, P, 2)
+        sampled = F.grid_sample(v, grid, mode="bilinear",
+                                padding_mode="zeros", align_corners=False)
+        sampled = sampled.reshape(B, H, D, Q, P).permute(0, 3, 1, 4, 2)
+        w_l = attention_weights[:, :, :, lvl]                  # (B,Q,H,P)
+        out += (sampled * w_l[..., None]).sum(dim=3).double()
+    return out.reshape(B, Q, H * D)
+
+
+def make_inputs(seed=0, B=2, H=4, D=8, Q=37, P=6,
+                shapes=((9, 13), (5, 7), (3, 4))):
+    rng = np.random.RandomState(seed)
+    L = len(shapes)
+    V = sum(h * w for h, w in shapes)
+    value = rng.randn(B, V, H, D).astype(np.float32)
+    # sampling locations in [-0.2, 1.2] to exercise the zero-padding border
+    loc = rng.uniform(-0.2, 1.2, size=(B, Q, H, L, P, 2)).astype(np.float32)
+    w = rng.rand(B, Q, H, L, P).astype(np.float32)
+    w = w / w.sum(axis=(3, 4), keepdims=True)
+    return value, shapes, loc, w
+
+
+def test_msda_matches_torch_oracle():
+    value, shapes, loc, w = make_inputs()
+    got = multi_scale_deformable_attention(
+        jnp.asarray(value), shapes, jnp.asarray(loc), jnp.asarray(w))
+    want = torch_msda_oracle(
+        torch.from_numpy(value), shapes, torch.from_numpy(loc),
+        torch.from_numpy(w)).numpy()
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-5, rtol=1e-5)
+
+
+def test_msda_chunked_matches_unchunked():
+    value, shapes, loc, w = make_inputs(B=1, Q=64)
+    full = multi_scale_deformable_attention(
+        jnp.asarray(value), shapes, jnp.asarray(loc), jnp.asarray(w))
+    chunked = multi_scale_deformable_attention_chunked(
+        jnp.asarray(value), shapes, jnp.asarray(loc), jnp.asarray(w),
+        chunk_size=16)
+    np.testing.assert_allclose(np.asarray(full), np.asarray(chunked),
+                               atol=1e-6)
+
+
+def test_bilinear_sample_exact_centres():
+    """Sampling exactly at pixel centres returns the pixel values."""
+    h, w, D = 5, 6, 3
+    rng = np.random.RandomState(1)
+    v = rng.randn(1, 1, h * w, D).astype(np.float32)
+    ys, xs = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    loc = np.stack([(xs + 0.5) / w, (ys + 0.5) / h],
+                   axis=-1).reshape(1, 1, -1, 2).astype(np.float32)
+    got = bilinear_sample(jnp.asarray(v), h, w, jnp.asarray(loc))
+    np.testing.assert_allclose(np.asarray(got)[0, 0], v[0, 0], atol=1e-6)
+
+
+def test_bilinear_sample_out_of_bounds_is_zero():
+    v = np.ones((1, 1, 12, 2), np.float32)
+    loc = np.array([[[[-0.5, 0.5], [1.5, 0.5], [0.5, -0.5], [0.5, 1.5]]]],
+                   np.float32)
+    got = np.asarray(bilinear_sample(jnp.asarray(v), 3, 4, jnp.asarray(loc)))
+    np.testing.assert_allclose(got, 0.0, atol=1e-7)

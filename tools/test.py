@@ -1,0 +1,119 @@
+#!/usr/bin/env python
+"""Evaluation / submission CLI.
+
+Equivalent of the reference `tools/test.py` (:113-267): loads a checkpoint,
+runs inference over the val split, then either computes the on-device
+RayIoU/mAVE/OccScore (`--eval`) or writes a challenge submission gz
+(`--format-only`).
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="occnet_tpu eval")
+    p.add_argument("--config", default="base_occ")
+    p.add_argument("--work-dir", default=None)
+    p.add_argument("--checkpoint", default=None,
+                   help="checkpoint dir (defaults to <work-dir>/ckpts)")
+    p.add_argument("--eval", action="store_true")
+    p.add_argument("--format-only", action="store_true")
+    p.add_argument("--out", default="submission.gz")
+    p.add_argument("--max-samples", type=int, default=None)
+    p.add_argument("--set", nargs="*", default=[], metavar="KEY=VAL")
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    import jax
+    import jax.numpy as jnp
+    from occnet_tpu.config import get_config, apply_overrides
+    from occnet_tpu.data import NuSceneOccDataset
+    from occnet_tpu.evaluation import (
+        RayMetricAccumulator, generate_lidar_rays, occ_score_from_metrics,
+        render_sample)
+    from occnet_tpu.evaluation.ray_metrics import format_metrics_table
+    from occnet_tpu.evaluation.ego_pose import extract_ego_origins, pad_origins
+    from occnet_tpu.evaluation.submission import write_submission
+    from occnet_tpu.models.detector import OccNet
+    from occnet_tpu.models.head import get_occ
+    from occnet_tpu.training import create_train_state
+    from occnet_tpu.training.checkpoint import CheckpointManager
+
+    cfg = get_config(args.config)
+    overrides = dict(kv.split("=", 1) for kv in args.set)
+    if overrides:
+        cfg = apply_overrides(cfg, overrides)
+    work_dir = args.work_dir or os.path.join("work_dirs", args.config)
+
+    ann = os.path.join(cfg.data.data_root, cfg.data.val_ann)
+    dataset = NuSceneOccDataset(cfg.data, ann, training=False)
+    n = len(dataset) if args.max_samples is None else min(
+        len(dataset), args.max_samples)
+    print(f"val set: {n} frames")
+
+    sample = dataset.collate([dataset.get_sample(0)])
+    batch = {k: jnp.asarray(v) for k, v in sample.items() if k != "tokens"}
+    model, state = create_train_state(cfg, jax.random.PRNGKey(0), batch)
+    ckpt_dir = args.checkpoint or os.path.join(work_dir, "ckpts")
+    mngr = CheckpointManager(ckpt_dir)
+    if mngr.latest_step() is not None:
+        state = mngr.restore(state)
+        print(f"loaded checkpoint step {int(state.step)}")
+    else:
+        print("WARNING: no checkpoint found — evaluating random init")
+
+    infer = jax.jit(lambda p, bs, i, e: model.apply(
+        {"params": p, "batch_stats": bs}, i, e))
+
+    origins_by_token = dict(extract_ego_origins(dataset.infos[:n]))
+    rays = jnp.asarray(generate_lidar_rays())
+    acc = RayMetricAccumulator()
+    sub_samples = []
+    t0 = time.time()
+    for i in range(n):
+        s = dataset.get_sample(i)
+        outs = infer(state.params, state.batch_stats,
+                     jnp.asarray(s["img"][None]),
+                     jnp.asarray(s["ego2img"][None]))
+        occ_cls, flow = get_occ(outs)
+        sem_pred = np.asarray(occ_cls[0], np.int32)
+        flow_pred = np.asarray(flow[0], np.float32)
+        origins = origins_by_token[s["token"]]
+        if args.format_only:
+            sub_samples.append((s["token"], sem_pred, flow_pred, origins))
+        if args.eval:
+            padded, valid = pad_origins(origins, cfg.eval.max_origins)
+            pred = render_sample(jnp.asarray(sem_pred),
+                                 jnp.asarray(flow_pred), rays,
+                                 jnp.asarray(padded), jnp.asarray(valid))
+            gt = render_sample(jnp.asarray(s["voxel_semantics"]),
+                               jnp.asarray(s["voxel_flow"]), rays,
+                               jnp.asarray(padded), jnp.asarray(valid))
+            acc.update(pred, gt)
+        if (i + 1) % 50 == 0:
+            print(f"{i + 1}/{n}  {(time.time() - t0) / (i + 1):.2f}s/frame")
+
+    if args.eval:
+        metrics = acc.finalize()
+        print(format_metrics_table(metrics))
+        scores = occ_score_from_metrics(metrics)
+        print(json.dumps(scores, indent=2))
+        with open(os.path.join(work_dir, "eval_results.json"), "w") as f:
+            json.dump(scores, f)
+    if args.format_only:
+        write_submission(args.out, sub_samples)
+        print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,167 @@
+#!/usr/bin/env python
+"""Training CLI.
+
+Equivalent of the reference `tools/train.py` (:33-259): config selection +
+dotted overrides (replacing --cfg-options), work-dir handling, seeding,
+resume, then the train loop — which here is a jitted step over a device mesh
+instead of mmcv runner + DDP.
+
+Usage:
+  python tools/train.py --config base_occ --work-dir work_dirs/base \
+      --set optim.lr=1e-4 data.data_root=/data/nuscenes/
+"""
+
+import argparse
+import json
+import logging
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="occnet_tpu training")
+    p.add_argument("--config", default="base_occ")
+    p.add_argument("--work-dir", default=None)
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--max-steps", type=int, default=None,
+                   help="cap total steps (smoke runs)")
+    p.add_argument("--synthetic-data", action="store_true",
+                   help="train on random tensors (no dataset on disk)")
+    p.add_argument("--log-interval", type=int, default=50)
+    p.add_argument("--ckpt-interval-epochs", type=int, default=1)
+    p.add_argument("--set", nargs="*", default=[], metavar="KEY=VAL",
+                   help="dotted config overrides")
+    return p.parse_args()
+
+
+def make_synthetic_batch(cfg, batch_size, rng):
+    import jax.numpy as jnp
+    m = cfg.model
+    img = rng.randn(batch_size, m.num_cams, m.img_h, m.img_w, 3)
+    ego2img = np.tile(np.eye(4, dtype=np.float32),
+                      (batch_size, m.num_cams, 1, 1))
+    for ci in range(m.num_cams):
+        a = 2 * np.pi * ci / m.num_cams
+        R = np.array([[np.cos(a), -np.sin(a), 0], [0, 0, -1],
+                      [np.sin(a), np.cos(a), 0.0]])
+        K = np.array([[m.img_w / 2, 0, m.img_w / 2],
+                      [0, m.img_w / 2, m.img_h / 2], [0, 0, 1]])
+        ego2img[:, ci, :3, :3] = K @ R
+    sem = rng.randint(0, 17, size=(batch_size, m.bev_w, m.bev_h, m.pillar_h))
+    flow = rng.randn(batch_size, m.bev_w, m.bev_h, m.pillar_h, 2)
+    return {
+        "img": jnp.asarray(img, jnp.float32),
+        "ego2img": jnp.asarray(ego2img),
+        "voxel_semantics": jnp.asarray(sem, jnp.int32),
+        "voxel_flow": jnp.asarray(flow, jnp.float32),
+    }
+
+
+def main():
+    args = parse_args()
+    import jax
+    from occnet_tpu.config import get_config, apply_overrides
+    from occnet_tpu.parallel import make_mesh, shard_batch
+    from occnet_tpu.training import create_train_state, make_train_step
+    from occnet_tpu.training.checkpoint import CheckpointManager
+    from occnet_tpu.data import NuSceneOccDataset, shuffled_shard_indices
+
+    cfg = get_config(args.config)
+    overrides = dict(kv.split("=", 1) for kv in args.set)
+    if overrides:
+        cfg = apply_overrides(cfg, overrides)
+    work_dir = args.work_dir or os.path.join("work_dirs", args.config)
+    os.makedirs(work_dir, exist_ok=True)
+
+    logging.basicConfig(
+        level=logging.INFO,
+        format="%(asctime)s %(levelname)s %(message)s",
+        handlers=[logging.StreamHandler(),
+                  logging.FileHandler(os.path.join(
+                      work_dir, f"train_{int(time.time())}.log"))])
+    log = logging.getLogger("occnet_tpu")
+    log.info("devices: %s", jax.devices())
+    log.info("config: %s", cfg)
+
+    mesh = make_mesh(cfg.parallel.dp, cfg.parallel.mp)
+    n_dp = mesh.shape["data"]
+    global_batch = cfg.data.batch_size_per_device * n_dp
+    rng = np.random.RandomState(args.seed)
+
+    dataset = None
+    if not args.synthetic_data:
+        ann = os.path.join(cfg.data.data_root, cfg.data.train_ann)
+        dataset = NuSceneOccDataset(cfg.data, ann, training=True)
+        steps_per_epoch = max(len(dataset) // global_batch, 1)
+        from occnet_tpu.config import apply_overrides as _ao
+        cfg = _ao(cfg, {"optim.steps_per_epoch": steps_per_epoch})
+        log.info("dataset: %d frames, %d steps/epoch", len(dataset),
+                 steps_per_epoch)
+
+    if dataset is not None:
+        sample = dataset.collate([dataset.get_sample(0, rng)
+                                  for _ in range(global_batch)])
+        import jax.numpy as jnp
+        sample = {k: jnp.asarray(v) for k, v in sample.items()
+                  if k != "tokens"}
+    else:
+        sample = make_synthetic_batch(cfg, global_batch, rng)
+
+    t0 = time.time()
+    model, state = create_train_state(cfg, jax.random.PRNGKey(args.seed),
+                                      sample)
+    n_params = sum(x.size for x in jax.tree_util.tree_leaves(state.params))
+    log.info("model init in %.1fs — %.2fM params", time.time() - t0,
+             n_params / 1e6)
+
+    ckpt = CheckpointManager(os.path.join(work_dir, "ckpts"))
+    if args.resume and ckpt.latest_step() is not None:
+        state = ckpt.restore(state)
+        log.info("resumed from step %d", int(state.step))
+
+    step_fn = jax.jit(make_train_step(cfg, model), donate_argnums=0)
+    key = jax.random.PRNGKey(args.seed)
+
+    total_steps = cfg.optim.total_epochs * cfg.optim.steps_per_epoch
+    if args.max_steps:
+        total_steps = min(total_steps, args.max_steps)
+
+    step0 = int(state.step)
+    epoch_len = cfg.optim.steps_per_epoch
+    t_start = time.time()
+    for step in range(step0, total_steps):
+        if dataset is not None:
+            epoch = step // epoch_len
+            order = shuffled_shard_indices(len(dataset), 1, 0, epoch,
+                                           cfg.seed)
+            base = (step % epoch_len) * global_batch
+            idxs = order[base: base + global_batch]
+            samples = [dataset.get_sample(int(i), rng) for i in idxs]
+            batch = dataset.collate(samples)
+            batch.pop("tokens")
+            batch = shard_batch(batch, mesh)
+        else:
+            batch = sample
+        state, metrics = step_fn(state, batch, key)
+        if step % args.log_interval == 0 or step == total_steps - 1:
+            m = {k: float(v) for k, v in metrics.items()}
+            dt = (time.time() - t_start) / max(step - step0 + 1, 1)
+            log.info("step %d/%d  loss %.4f (occ %.4f flow %.4f) "
+                     "gnorm %.2f lr %.2e  %.2fs/it",
+                     step, total_steps, m["loss"], m["loss_occ"],
+                     m["loss_flow"], m["grad_norm"], m["lr"], dt)
+        if (step + 1) % (epoch_len * args.ckpt_interval_epochs) == 0 or \
+                step == total_steps - 1:
+            ckpt.save(step + 1, state, cfg)
+            log.info("checkpoint @ step %d", step + 1)
+    log.info("done: %d steps", total_steps - step0)
+
+
+if __name__ == "__main__":
+    main()
