@@ -77,9 +77,6 @@ class MSDeformableAttention3D(nn.Module):
 
         value = nn.Dense(self.embed_dims, dtype=self.dtype,
                          kernel_init=xavier_uniform, name="value_proj")(value)
-        # see TSA note: barrier guards against a libtpu layout bug in the
-        # fused bias-grad reduce across the head-split reshape.
-        value = jax.lax.optimization_barrier(value)
         value = value.reshape(bs, -1, H, head_dim)
 
         offsets = nn.Dense(
@@ -148,21 +145,51 @@ class SpatialCrossAttention(nn.Module):
             num_levels=self.cfg.num_levels, num_points=self.cfg.num_points,
             dtype=self.dtype, name="deformable_attention")
 
-        # All cameras in one batched call: (B*n_cam, Q, ...).
-        q_all = jnp.broadcast_to(query[:, None], (B, n_cam, Q, C))
-        q_all = q_all.reshape(B * n_cam, Q, C)
         v_all = value.reshape(B * n_cam, -1, C)
-        ref = jnp.transpose(reference_points_cam, (1, 0, 2, 3, 4))
-        ref = ref.reshape(B * n_cam, Q, -1, 2)
-        out = msda(q_all, v_all, ref, spatial_shapes)   # (B*n_cam, Q, C)
-        out = out.reshape(B, n_cam, Q, C)
-
-        # visible(cam, q) = any z-anchor visible; slots = sum over visible
-        # cams; normalise by hit count (reference :165-172).
-        visible = jnp.any(bev_mask, axis=-1)             # (n_cam, B, Q)
-        visible = jnp.transpose(visible, (1, 0, 2))      # (B, n_cam, Q)
-        slots = jnp.sum(out * visible[..., None].astype(out.dtype), axis=1)
+        ref_bc = jnp.transpose(reference_points_cam,
+                               (1, 0, 2, 3, 4))          # (B, cam, Q, Z, 2)
+        # visible(cam, q) = any z-anchor visible (reference :138-139 selects
+        # queries whose per-camera mask sum is nonzero).
+        vis_cnt = bev_mask.sum(axis=-1)                   # (n_cam, B, Q)
+        visible = jnp.transpose(vis_cnt > 0, (1, 0, 2))   # (B, n_cam, Q)
         count = jnp.maximum(visible.sum(axis=1), 1).astype(jnp.float32)
+
+        K = self.cfg.max_queries_per_cam
+        if K and K < Q:
+            # Static top-K compaction: the TPU analogue of the reference's
+            # dynamic per-camera rebatch (:137-167).  Exact whenever K >= the
+            # max per-camera visible-query count (selected set then covers
+            # the visible set; extra slots are masked out below).
+            scores = jnp.transpose(vis_cnt, (1, 0, 2)).astype(jnp.int32)
+            _, sel = jax.lax.top_k(scores, K)             # (B, n_cam, K)
+            q_sel = jnp.take_along_axis(
+                jnp.broadcast_to(query[:, None], (B, n_cam, Q, C)),
+                sel[..., None], axis=2)
+            ref_sel = jnp.take_along_axis(
+                ref_bc, sel[..., None, None], axis=2)
+            out_sel = msda(q_sel.reshape(B * n_cam, K, C), v_all,
+                           ref_sel.reshape(B * n_cam, K, -1, 2),
+                           spatial_shapes)
+            out_sel = out_sel.reshape(B, n_cam, K, C)
+            vis_sel = jnp.take_along_axis(visible, sel, axis=2)
+            out_sel = out_sel * vis_sel[..., None].astype(out_sel.dtype)
+            # scatter back over cameras (top_k indices are distinct per
+            # (batch, camera), so the adds are exact), then sum cameras
+            scat = jnp.zeros((B, n_cam, Q, C), out_sel.dtype)
+            bidx = jnp.arange(B)[:, None, None]
+            cidx = jnp.arange(n_cam)[None, :, None]
+            scat = scat.at[bidx, cidx, sel].add(out_sel)
+            slots = scat.sum(axis=1)
+        else:
+            # Dense: all cameras in one batched call (B*n_cam, Q, ...).
+            q_all = jnp.broadcast_to(query[:, None], (B, n_cam, Q, C))
+            q_all = q_all.reshape(B * n_cam, Q, C)
+            ref = ref_bc.reshape(B * n_cam, Q, -1, 2)
+            out = msda(q_all, v_all, ref, spatial_shapes)
+            out = out.reshape(B, n_cam, Q, C)
+            slots = jnp.sum(out * visible[..., None].astype(out.dtype),
+                            axis=1)
+        # normalise by per-query camera hit count (reference :169-172)
         slots = (slots.astype(jnp.float32) / count[..., None]).astype(
             self.dtype)
 
@@ -214,10 +241,6 @@ class TemporalSelfAttention(nn.Module):
         value = nn.Dense(self.embed_dims, dtype=self.dtype,
                          kernel_init=xavier_uniform, name="value_proj")(
             value.reshape(B * nq_queue, Q, C))
-        # optimization_barrier: keeps XLA from fusing the bias-grad reduce
-        # through the per-head reshape — that fusion trips a layout-assignment
-        # bug in this libtpu AOT ("expected f32[H,D], actual f32[D,H]").
-        value = jax.lax.optimization_barrier(value)
         value = value.reshape(B * nq_queue, Q, H, head_dim)
 
         offsets = nn.Dense(

@@ -127,6 +127,11 @@ class TransformerOcc(nn.Module):
         c = self.cfg
         b = bev_embed.shape[0]
         middle = c.embed_dims // c.pillar_h
+        # Barrier: without it XLA fuses the final encoder LayerNorm's backward
+        # reduce with the channel-splitting reshape below, and this libtpu AOT
+        # mis-assigns the reduce layout ("expected f32[middle,pillar], actual
+        # transposed").  See models/norm.py.
+        bev_embed = jax.lax.optimization_barrier(bev_embed)
         # (B, H, W, C) with C = middle-major x pillar (torch channel split
         # view(bs, middle, pillar, H, W) from a (bs, C, H, W) map).
         x = bev_embed.reshape(b, c.bev_h, c.bev_w, middle, c.pillar_h)

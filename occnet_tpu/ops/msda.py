@@ -89,9 +89,12 @@ def multi_scale_deformable_attention(
         loc = loc_hm[:, :, :, lvl].reshape(B, H, Q * P, 2)
         sampled = bilinear_sample(v, h, w, loc)            # (B, H, Q*P, D)
         sampled = sampled.reshape(B, H, Q, P, D)
-        out = out + jnp.einsum(
-            "bhqpd,bhqp->bhqd", sampled, w_hm[:, :, :, lvl],
-            preferred_element_type=jnp.float32)
+        # weighted reduce over sampling points; written as multiply+sum (not
+        # einsum/dot_general) — the dot_general VJP's transposed reduce trips
+        # a layout-assignment bug in this libtpu AOT toolchain.
+        w_lvl = w_hm[:, :, :, lvl].astype(jnp.float32)
+        out = out + (sampled.astype(jnp.float32) *
+                     w_lvl[..., None]).sum(axis=3)
     out = jnp.transpose(out, (0, 2, 1, 3)).reshape(B, Q, H * D)
     return out.astype(value.dtype)
 

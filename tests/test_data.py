@@ -1,0 +1,133 @@
+"""Data-layer tests: quaternion utils vs analytic cases, samplers' shard
+guarantees, pipeline transforms, camera-matrix construction on a synthetic
+infos dict, ego-origin extraction."""
+
+import numpy as np
+import pytest
+
+from occnet_tpu.data.quat import quat_to_rot, quaternion_yaw, transform_matrix
+from occnet_tpu.data.sampler import (
+    contiguous_shard_indices, shuffled_shard_indices)
+from occnet_tpu.data.pipeline import (
+    _hsv_to_rgb, _rgb_to_hsv, normalize_img, pad_to_divisor)
+from occnet_tpu.data.nuscenes import build_camera_matrices
+from occnet_tpu.evaluation.ego_pose import extract_ego_origins, pad_origins
+
+
+def test_quat_identity_and_yaw():
+    np.testing.assert_allclose(quat_to_rot([1, 0, 0, 0]), np.eye(3),
+                               atol=1e-12)
+    # 90deg about z: w=cos(45), z=sin(45)
+    q = [np.cos(np.pi / 4), 0, 0, np.sin(np.pi / 4)]
+    R = quat_to_rot(q)
+    np.testing.assert_allclose(R @ [1, 0, 0], [0, 1, 0], atol=1e-12)
+    np.testing.assert_allclose(quaternion_yaw(q), np.pi / 2, atol=1e-12)
+
+
+def test_transform_matrix_inverse():
+    q = [np.cos(0.3), 0.1, 0.2, np.sin(0.3)]
+    q = q / np.linalg.norm(q)
+    t = [1.0, -2.0, 0.5]
+    m = transform_matrix(t, q)
+    mi = transform_matrix(t, q, inverse=True)
+    np.testing.assert_allclose(m @ mi, np.eye(4), atol=1e-12)
+
+
+def test_shuffled_shards_cover_everything():
+    n, shards = 103, 8
+    all_idx = np.concatenate([
+        shuffled_shard_indices(n, shards, s, epoch=3) for s in range(shards)])
+    assert len(all_idx) == -(-n // shards) * shards
+    assert set(all_idx.tolist()) == set(range(n))
+    # deterministic per epoch
+    a = shuffled_shard_indices(n, shards, 2, epoch=3)
+    b = shuffled_shard_indices(n, shards, 2, epoch=3)
+    np.testing.assert_array_equal(a, b)
+    c = shuffled_shard_indices(n, shards, 2, epoch=4)
+    assert not np.array_equal(a, c)
+
+
+def test_contiguous_shards_are_ordered_blocks():
+    n, shards = 10, 4
+    blocks = [contiguous_shard_indices(n, shards, s) for s in range(shards)]
+    flat = np.concatenate(blocks)
+    assert len(flat) == 12
+    # concatenation preserves dataset order (the eval-collection guarantee)
+    np.testing.assert_array_equal(flat[:n], np.arange(n))
+
+
+def test_hsv_roundtrip():
+    rng = np.random.RandomState(0)
+    img = rng.uniform(0, 255, (5, 7, 3)).astype(np.float32)
+    back = _hsv_to_rgb(_rgb_to_hsv(img))
+    np.testing.assert_allclose(back, img, atol=1e-3)
+
+
+def test_normalize_and_pad():
+    img = np.ones((2, 30, 50, 3), np.float32) * 100
+    out = normalize_img(img, [100, 100, 100], [2, 2, 2])
+    np.testing.assert_allclose(out, 0.0)
+    padded = pad_to_divisor(img, 32)
+    assert padded.shape == (2, 32, 64, 3)
+    assert padded[:, 30:].sum() == 0
+
+
+def _synthetic_info(token="tok0", scene="scene-001", offset=(0.0, 0.0)):
+    cams = {}
+    # camera axes in lidar frame: x right (-y_l), y down (-z_l), z forward
+    # (+x_l), yawed per camera
+    base = np.array([[0.0, 0.0, 1.0], [-1.0, 0.0, 0.0], [0.0, -1.0, 0.0]])
+    for i, name in enumerate(["CAM_FRONT", "CAM_FRONT_RIGHT", "CAM_FRONT_LEFT",
+                              "CAM_BACK", "CAM_BACK_LEFT", "CAM_BACK_RIGHT"]):
+        a = 2 * np.pi * i / 6
+        Rz = np.array([[np.cos(a), -np.sin(a), 0],
+                       [np.sin(a), np.cos(a), 0], [0, 0, 1.0]])
+        R = Rz @ base
+        cams[name] = {
+            "data_path": f"imgs/{name}.jpg",
+            "cam_intrinsic": np.array([[1000.0, 0, 800], [0, 1000, 450],
+                                       [0, 0, 1]]),
+            "sensor2lidar_rotation": R,
+            "sensor2lidar_translation": np.array([1.0, 0.0, 1.5]),
+        }
+    return {
+        "token": token,
+        "cams": cams,
+        "lidar2ego_translation": [0.94, 0.0, 1.84],
+        "lidar2ego_rotation": [1.0, 0.0, 0.0, 0.0],
+        "ego2global_translation": [100.0 + offset[0], 50.0 + offset[1], 0.0],
+        "ego2global_rotation": [1.0, 0.0, 0.0, 0.0],
+        "occ_path": f"openocc_v2/{scene}/{token}/labels.npz",
+        "timestamp": 0,
+    }
+
+
+def test_build_camera_matrices_projects_sanely():
+    geo = build_camera_matrices(_synthetic_info())
+    assert geo["lidar2img"].shape == (6, 4, 4)
+    # a point 10m in front of the front camera should project inside image
+    l2i = geo["lidar2img"][0]
+    p = l2i @ np.array([11.0, 0.0, 1.5, 1.0])   # in front of cam at x=1+10
+    xy = p[:2] / p[2]
+    assert p[2] > 0
+    assert 0 < xy[0] < 1600 and 0 < xy[1] < 900
+
+
+def test_ego_origin_extraction():
+    infos = [_synthetic_info(f"tok{i}", "scene-001", offset=(5.0 * i, 0.0))
+             for i in range(12)]
+    out = extract_ego_origins(infos)
+    assert len(out) == 12
+    token, origins = out[0]
+    assert token == "tok0"
+    # frames further than 39m from tok0 are dropped; 5m spacing -> 8 frames
+    # within bound (0..35m), all at |x| < 39
+    assert origins.shape[1] == 3
+    assert (np.abs(origins[:, 0]) < 39).all()
+    padded, valid = pad_origins(origins, 8)
+    assert padded.shape == (8, 3)
+    assert valid.sum() == min(len(origins), 8)
+    # the reference frame itself contributes the lidar->ego-transformed zero
+    # origin
+    lidar2ego_t = np.array([0.94, 0.0, 1.84])
+    assert any(np.allclose(o, lidar2ego_t, atol=1e-5) for o in origins)

@@ -1,0 +1,95 @@
+"""Op-level tests: grid-mask statistics, BEV rotation vs scipy-style oracle,
+submission round-trip scoring."""
+
+import gzip
+import pickle
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from occnet_tpu.ops.grid_mask import grid_mask
+from occnet_tpu.ops.transforms import rotate_bev, shift_bev_ref
+
+
+def test_grid_mask_keep_fraction_and_structure():
+    imgs = jnp.ones((2, 64, 64, 3))
+    zeroed = 0
+    applied = 0
+    for seed in range(12):
+        out = np.asarray(grid_mask(jax.random.PRNGKey(seed), imgs, prob=1.0))
+        assert out.shape == imgs.shape
+        frac = out.mean()
+        # mode=1 keeps the strip union: with ratio 0.5 expected keep fraction
+        # ~0.75; allow slack for small d edge cases
+        assert 0.4 <= frac <= 0.95, frac
+        # same mask across batch
+        np.testing.assert_array_equal(out[0], out[1])
+        applied += 1
+        zeroed += (out == 0).any()
+    assert zeroed == applied   # prob=1 always masks something
+
+
+def test_grid_mask_prob_zero_identity():
+    imgs = jnp.ones((1, 32, 32, 3))
+    out = np.asarray(grid_mask(jax.random.PRNGKey(0), imgs, prob=0.0))
+    np.testing.assert_array_equal(out, 1.0)
+
+
+def test_rotate_bev_identity_and_90():
+    rng = np.random.RandomState(0)
+    bev = rng.randn(8, 8, 2).astype(np.float32)
+    out = np.asarray(rotate_bev(jnp.asarray(bev), jnp.float32(0.0),
+                                center=(3.5, 3.5)))
+    np.testing.assert_allclose(out, bev, atol=1e-5)
+    # 90 deg CCW about the exact centre maps like np.rot90 on (y, x) plane:
+    # output(y,x) = input(x, H-1-y) for torchvision's convention
+    out90 = np.asarray(rotate_bev(jnp.asarray(bev), jnp.float32(90.0),
+                                  center=(3.5, 3.5)))
+    want = np.stack([np.rot90(bev[..., c], k=-1) for c in range(2)], -1)
+    # (one of the two rot90 directions must match exactly)
+    want2 = np.stack([np.rot90(bev[..., c], k=1) for c in range(2)], -1)
+    ok = np.allclose(out90, want, atol=1e-4) or np.allclose(out90, want2,
+                                                            atol=1e-4)
+    assert ok
+
+
+def test_rotate_bev_bilinear_smooth():
+    bev = np.zeros((9, 9, 1), np.float32)
+    bev[4, 4, 0] = 1.0
+    out = np.asarray(rotate_bev(jnp.asarray(bev), jnp.float32(45.0),
+                                center=(4.0, 4.0), method="bilinear"))
+    # centre pixel invariant under rotation about itself
+    np.testing.assert_allclose(out[4, 4, 0], 1.0, atol=1e-5)
+
+
+def test_shift_bev_ref_zero_motion():
+    s = np.asarray(shift_bev_ref(jnp.asarray([0.0, 0.0]), jnp.float32(0.0),
+                                 (0.4, 0.4), (200, 200)))
+    np.testing.assert_allclose(s, 0.0, atol=1e-7)
+
+
+def test_submission_roundtrip_gt_scores_one(tmp_path):
+    from occnet_tpu.evaluation.submission import (
+        score_submissions, write_submission)
+    rng = np.random.RandomState(0)
+    sem = np.full((200, 200, 16), 16, np.int32)
+    sem[95:105, 95:105, 3:8] = rng.randint(0, 16, (10, 10, 5))
+    flow = rng.randn(200, 200, 16, 2).astype(np.float32)
+    origins = np.array([[0.0, 0.0, 1.8], [3.0, 1.0, 1.9]], np.float32)
+
+    path = str(tmp_path / "sub.gz")
+    write_submission(path, [("tok0", sem, flow, origins)])
+    with gzip.open(path, "rb") as f:
+        payload = pickle.load(f)
+    assert "results" in payload and "tok0" in payload["results"]
+    r = payload["results"]["tok0"]
+    assert r["pcd_cls"].dtype == np.uint8
+    assert r["pcd_dist"].dtype == np.float16
+    assert r["pcd_flow"].shape[1] == 2
+
+    scores = score_submissions(path, path)
+    assert scores["RayIoU"] == 1.0
+    assert abs(scores["OccScore"] - 1.0) < 1e-9
