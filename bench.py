@@ -32,21 +32,29 @@ def main():
     fn, args = entry()
     jfn = jax.jit(fn)
 
+    import jax.numpy as jnp
+
+    def sync(x):
+        # On the axon tunnel backend block_until_ready does not reliably
+        # block; fetching a scalar that depends on the output does, and the
+        # in-order device stream makes it a barrier for all queued work.
+        return float(jnp.sum(x.astype(jnp.float32)))
+
     # warmup / compile
     out = jfn(*args)
-    jax.block_until_ready(out)
+    sync(out)
 
     iters = int(os.environ.get("BENCH_ITERS", "10"))
     t0 = time.perf_counter()
     for _ in range(iters):
         out = jfn(*args)
-    jax.block_until_ready(out)
+    sync(out)
     dt = (time.perf_counter() - t0) / iters
 
     batch = args[2].shape[0]
     fps = batch / dt
     print(json.dumps({
-        "metric": "6-cam occ inference frames/sec/chip (OccNet base, bf16)",
+        "metric": "6-cam occ inference frames/sec/chip (OccNet turbo, bf16)",
         "value": round(fps, 3),
         "unit": "frames/s",
         "vs_baseline": round(fps / (TARGET_MULT * A100_EST_FPS), 3),

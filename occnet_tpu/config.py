@@ -77,11 +77,19 @@ class SCAConfig:
 
 @dataclass(frozen=True)
 class EncoderConfig:
-    """BEVFormer encoder (reference config :101-128)."""
+    """BEVFormer encoder (reference config :101-128).
+
+    mode:
+      "gather" — exact reference semantics (per-sample deformable gathers;
+        slow on TPU, used for parity testing);
+      "dense"  — TPU-native fast path (planar-homography lift + dense tap
+        attention, see ops/planar_lift.py and models/dense_attention.py).
+    """
     num_layers: int = 4
     num_points_in_pillar: int = 8
     ffn_dim: int = 512
     ffn_dropout: float = 0.1
+    mode: str = "gather"
     tsa: TSAConfig = field(default_factory=TSAConfig)
     sca: SCAConfig = field(default_factory=SCAConfig)
 
@@ -204,9 +212,28 @@ def tiny_occ() -> OccNetConfig:
     return dataclasses.replace(cfg, model=model)
 
 
+def turbo_occ() -> OccNetConfig:
+    """Flagship fast config: base dims with the dense TPU-native encoder."""
+    cfg = OccNetConfig()
+    model = dataclasses.replace(
+        cfg.model,
+        encoder=dataclasses.replace(cfg.model.encoder, mode="dense"))
+    return dataclasses.replace(cfg, model=model)
+
+
+def tiny_turbo_occ() -> OccNetConfig:
+    cfg = tiny_occ()
+    model = dataclasses.replace(
+        cfg.model,
+        encoder=dataclasses.replace(cfg.model.encoder, mode="dense"))
+    return dataclasses.replace(cfg, model=model)
+
+
 CONFIGS = {
     "base_occ": base_occ,
     "tiny_occ": tiny_occ,
+    "turbo_occ": turbo_occ,
+    "tiny_turbo_occ": tiny_turbo_occ,
 }
 
 

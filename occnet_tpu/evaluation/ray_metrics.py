@@ -89,6 +89,55 @@ def render_sample(
     return {"dist": dist, "label": label, "flow": fl, "valid": valid}
 
 
+def fan_parameters(rays: jax.Array, num_az: int = 360):
+    """Decompose the lidar fan (pitch-major rays from generate_lidar_rays)
+    into (az_dirs (A,2), pitch_dz (K,), pitch_scale (K,)) for the
+    column-factored marcher."""
+    R = rays.shape[0]
+    K = R // num_az
+    fan = rays.reshape(K, num_az, 3)
+    xy_norm = jnp.linalg.norm(fan[..., :2], axis=-1)       # = cos(pitch)
+    az_dirs = fan[0, :, :2] / xy_norm[0, :, None]
+    pitch_dz = fan[:, 0, 2] / xy_norm[:, 0]                # tan(pitch)
+    pitch_scale = 1.0 / xy_norm[:, 0]
+    return az_dirs, pitch_dz, pitch_scale
+
+
+@functools.partial(jax.jit, static_argnames=("num_az",))
+def render_sample_fast(
+    sem: jax.Array,          # (X, Y, Z) int semantic grid
+    flow: jax.Array,         # (X, Y, Z, 2)
+    rays: jax.Array,         # (R, 3) pitch-major fan
+    origins: jax.Array,      # (T, 3) metres
+    origin_valid: jax.Array,  # (T,)
+    num_az: int = 360,
+):
+    """Fan-structured render via the column-factored DDA
+    (`ops/ray_march_fast.py`): ~50x fewer gathers than `render_sample`.
+    Output layout identical to `render_sample` (T, R) with R pitch-major."""
+    from occnet_tpu.ops.ray_march_fast import dda_raymarch_fan
+
+    occ = (sem != FREE_ID)
+    offset = jnp.asarray(_PC_RANGE[:3], jnp.float32)
+    az_dirs, pitch_dz, pitch_scale = fan_parameters(rays, num_az)
+    R = rays.shape[0]
+
+    def render_one(origin):
+        o_vox = (origin - offset) / _VOXEL_SIZE
+        dist, coord, hit = dda_raymarch_fan(
+            occ, o_vox, az_dirs, pitch_dz, pitch_scale)
+        # (A, K) -> pitch-major (K*A,)
+        dist = dist.swapaxes(0, 1).reshape(R)
+        coord = coord.swapaxes(0, 1).reshape(R, 3)
+        label = sem[coord[:, 0], coord[:, 1], coord[:, 2]]
+        fl = flow[coord[:, 0], coord[:, 1], coord[:, 2]]
+        return dist * _VOXEL_SIZE, label, fl
+
+    dist, label, fl = jax.vmap(render_one)(origins)
+    valid = jnp.broadcast_to(origin_valid[:, None], dist.shape)
+    return {"dist": dist, "label": label, "flow": fl, "valid": valid}
+
+
 @functools.partial(jax.jit, static_argnames=())
 def _count_sample(pred: Dict[str, jax.Array], gt: Dict[str, jax.Array]):
     """Per-sample TP/GT/pred counts + flow-error sums, vectorised over the

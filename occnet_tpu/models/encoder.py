@@ -28,6 +28,10 @@ from occnet_tpu.models.attention import (
     TemporalSelfAttention,
     xavier_uniform,
 )
+from occnet_tpu.models.dense_attention import (
+    DenseSpatialCrossAttention,
+    DenseTemporalSelfAttention,
+)
 
 
 class FFN(nn.Module):
@@ -78,18 +82,33 @@ class BEVFormerLayer(nn.Module):
     ) -> jax.Array:
         ln = lambda name: LayerNorm32(  # noqa: E731
             out_dtype=self.dtype, name=name)
-        query = TemporalSelfAttention(
-            self.cfg.tsa, embed_dims=self.embed_dims, dtype=self.dtype,
-            name="self_attn")(
-            query, prev_bev, bev_pos, hybrid_ref_2d, [bev_hw],
-            deterministic=deterministic)
-        query = ln("norm1")(query)
-        query = SpatialCrossAttention(
-            self.cfg.sca, embed_dims=self.embed_dims, num_cams=self.num_cams,
-            dtype=self.dtype, name="cross_attn")(
-            query, value, None, ref_cam, bev_mask, img_spatial_shapes,
-            deterministic=deterministic)
-        query = ln("norm2")(query)
+        if self.cfg.mode == "dense":
+            query = DenseTemporalSelfAttention(
+                self.cfg.tsa, embed_dims=self.embed_dims, bev_hw=bev_hw,
+                dtype=self.dtype, name="self_attn")(
+                query, prev_bev, bev_pos, deterministic=deterministic)
+            query = ln("norm1")(query)
+            # `value` carries the camera-averaged lift (B, L, Z, Q, C)
+            query = DenseSpatialCrossAttention(
+                self.cfg.sca, embed_dims=self.embed_dims,
+                num_levels=value.shape[1], num_z=value.shape[2],
+                dtype=self.dtype, name="cross_attn")(
+                query, value, None, deterministic=deterministic)
+            query = ln("norm2")(query)
+        else:
+            query = TemporalSelfAttention(
+                self.cfg.tsa, embed_dims=self.embed_dims, dtype=self.dtype,
+                name="self_attn")(
+                query, prev_bev, bev_pos, hybrid_ref_2d, [bev_hw],
+                deterministic=deterministic)
+            query = ln("norm1")(query)
+            query = SpatialCrossAttention(
+                self.cfg.sca, embed_dims=self.embed_dims,
+                num_cams=self.num_cams, dtype=self.dtype,
+                name="cross_attn")(
+                query, value, None, ref_cam, bev_mask, img_spatial_shapes,
+                deterministic=deterministic)
+            query = ln("norm2")(query)
         query = FFN(self.embed_dims, self.cfg.ffn_dim, self.cfg.ffn_dropout,
                     dtype=self.dtype, name="ffn")(
             query, deterministic=deterministic)
@@ -124,13 +143,17 @@ class BEVFormerEncoder(nn.Module):
     ) -> jax.Array:
         B, Q, C = bev_query.shape
         z_extent = self.pc_range[5] - self.pc_range[2]
-        ref_3d = bev_reference_points_3d(
-            self.bev_h, self.bev_w, z_extent, self.cfg.num_points_in_pillar)
         ref_2d = bev_reference_points_2d(self.bev_h, self.bev_w)
         ref_2d = jnp.broadcast_to(ref_2d[None], (B, Q, 1, 2))
 
-        ref_cam, bev_mask = project_bev_points_to_cameras(
-            ref_3d, self.pc_range, ego2img, self.img_hw)
+        if self.cfg.mode == "dense":
+            ref_cam = bev_mask = None   # geometry folded into the lift
+        else:
+            ref_3d = bev_reference_points_3d(
+                self.bev_h, self.bev_w, z_extent,
+                self.cfg.num_points_in_pillar)
+            ref_cam, bev_mask = project_bev_points_to_cameras(
+                ref_3d, self.pc_range, ego2img, self.img_hw)
 
         # Hybrid 2-queue reference for TSA (`encoder.py:204-212`).  The
         # reference notes its shift_ref_2d aliasing bug and keeps it; without

@@ -77,6 +77,13 @@ class TransformerOcc(nn.Module):
             c.encoder, embed_dims=c.embed_dims, num_cams=c.num_cams,
             bev_h=c.bev_h, bev_w=c.bev_w, pc_range=c.pc_range,
             img_hw=(c.img_h, c.img_w), dtype=self.dtype, name="encoder")
+        if c.encoder.mode == "dense":
+            # shared pre-lift value projection (dense mode; layer-shared by
+            # design — the gather path keeps the reference's per-layer proj)
+            import flax.linen as fnn
+            self.shared_value_proj = fnn.Dense(
+                c.embed_dims, dtype=self.dtype,
+                kernel_init=xavier_uniform, name="shared_value_proj")
         self.decoder0 = ConvBNReLU3D(c.out_dim, dtype=self.dtype)
         self.decoder1 = ConvBNReLU3D(c.out_dim, dtype=self.dtype)
         self.predicter = MLPHead(c.out_dim * 2, c.num_classes, "softplus",
@@ -114,12 +121,40 @@ class TransformerOcc(nn.Module):
         deterministic: bool = True,
     ) -> jax.Array:
         b = mlvl_feats[0].shape[0]
-        value, shapes = self.flatten_mlvl_feats(mlvl_feats)
+        c = self.cfg
+        if c.encoder.mode == "dense":
+            # TPU-native fast path: shared value projection on the (small)
+            # camera feature maps, then the gather-free planar lift.  The
+            # projection commutes with the (channel-linear) warp, so applying
+            # it pre-lift is exact and ~40x cheaper than post-lift.
+            from occnet_tpu.ops.planar_lift import lift_and_average
+            feats = [self.shared_value_proj(f) for f in self.flat_embed(
+                mlvl_feats)]
+            value, _count = lift_and_average(
+                feats, ego2img, c.pc_range, c.encoder.num_points_in_pillar,
+                (c.bev_h, c.bev_w), (c.img_h, c.img_w),
+                out_dtype=self.dtype)
+            shapes = ()
+        else:
+            value, shapes = self.flatten_mlvl_feats(mlvl_feats)
         queries = jnp.broadcast_to(
             bev_queries[None], (b,) + bev_queries.shape).astype(self.dtype)
         return self.encoder(
             queries, value, bev_pos, ego2img, shapes, prev_bev=prev_bev,
             shift_ref_2d=shift_ref_2d, deterministic=deterministic)
+
+    def flat_embed(self, mlvl_feats: Sequence[jax.Array]):
+        """Camera/level embeddings on the unflattened maps (dense mode)."""
+        out = []
+        for lvl, feat in enumerate(mlvl_feats):
+            f = feat
+            if self.cfg.use_cams_embeds:
+                f = f + self.cams_embeds[None, :, None, None, :].astype(
+                    f.dtype)
+            f = f + self.level_embeds[None, None, None, None, lvl].astype(
+                f.dtype)
+            out.append(f)
+        return out
 
     def decode_voxels(self, bev_embed: jax.Array, *, train: bool = False):
         """(B, Q, C) BEV -> (B, X, Y, Z, out_dim) voxel features via the

@@ -1,0 +1,169 @@
+"""Column-factored DDA ray marcher — the fast evaluator path.
+
+The direct marcher (`ops/ray_march.py`) gathers one occupancy value per
+(ray, step): ~57M gathers per sample at the TPU's ~65M-rows/s gather floor
+(~0.5 s).  This version exploits the simulated-LiDAR fan structure
+(`evaluation/ray_metrics.generate_lidar_rays`): all pitch rings of one
+azimuth share the same origin and the same xy direction, hence the same
+xy-column walk.  The grid's 16 z-voxels pack into one int32 bitmask per
+(x, y) column, so the walk gathers ONE int per (azimuth, column-crossing) —
+~50x fewer gathers — and each pitch ray resolves its z-interval inside the
+crossing with dense bit tests.
+
+Semantics match the 3D DDA / dvr.render_forward exactly: within a column
+crossing the ray visits z-voxels in order; the first occupied voxel's EXIT
+distance (min of next x/y/z boundary) and (x, y, z) index are returned; a
+miss returns the exit distance / last voxel of the traversal.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+_BIG = jnp.float32(1e30)
+
+
+def pack_columns(occ: jax.Array) -> jax.Array:
+    """(X, Y, Z<=32) bool/float occupancy -> (X, Y) int32 bitmask."""
+    X, Y, Z = occ.shape
+    bits = (occ > 0.5).astype(jnp.int32)
+    weights = (1 << jnp.arange(Z, dtype=jnp.int32))
+    return (bits * weights[None, None, :]).sum(axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("max_xy_steps", "max_z_sub"))
+def dda_raymarch_fan(
+    occ: jax.Array,          # (X, Y, Z) occupancy grid, >0.5 occupied
+    origin: jax.Array,       # (3,) single origin, voxel units
+    az_dirs: jax.Array,      # (A, 2) unit xy directions per azimuth
+    pitch_dz: jax.Array,     # (K,) dz per unit xy-distance: tan(pitch)
+    pitch_scale: jax.Array,  # (K,) 3D-distance per unit xy-distance
+    max_xy_steps: int = 420,
+    max_z_sub: int = 4,
+):
+    """March A azimuths x K pitch rings from one origin.
+
+    Ray k of azimuth a: p(s) = origin + s * (dir_a.x, dir_a.y, dz_k), s the
+    xy-plane arc length.  Returned dist is the TRUE 3D distance
+    (s * pitch_scale_k).  Outputs (A, K): dist, coord (A, K, 3), hit.
+    """
+    X, Y, Z = occ.shape
+    cols = pack_columns(occ)                      # (X, Y) int32
+    cols_flat = cols.reshape(-1)
+
+    A = az_dirs.shape[0]
+    K = pitch_dz.shape[0]
+    f32 = jnp.float32
+
+    o = origin.astype(f32)
+    d = az_dirs.astype(f32)                       # (A, 2)
+    step = jnp.where(d >= 0, 1, -1).astype(jnp.int32)          # (A, 2)
+    v0 = jnp.floor(o[:2]).astype(jnp.int32)
+    v0 = jnp.broadcast_to(v0, (A, 2))
+    nb = v0.astype(f32) + (step > 0).astype(f32)
+    tmax0 = jnp.where(d != 0, (nb - o[:2]) / d, _BIG)          # (A, 2)
+    tdelta = jnp.where(d != 0, step.astype(f32) / d, _BIG)
+
+    dz = pitch_dz.astype(f32)                     # (K,)
+    z0 = o[2]
+    zstep = jnp.where(dz >= 0, 1, -1).astype(jnp.int32)        # (K,)
+
+    init = dict(
+        v=v0,                                     # (A, 2)
+        tmax=tmax0,                               # (A, 2)
+        t_last=jnp.zeros((A,), f32),
+        hit=jnp.zeros((A, K), bool),
+        hit_s=jnp.zeros((A, K), f32),
+        hit_v=jnp.zeros((A, K, 3), jnp.int32),
+        last_s=jnp.zeros((A, K), f32),
+        last_v=jnp.zeros((A, K, 3), jnp.int32),
+        was_inside=jnp.zeros((A,), bool),
+        done=jnp.zeros((A,), bool),
+    )
+
+    def body(_, s):
+        v, tmax = s["v"], s["tmax"]
+        inside_xy = (v[:, 0] >= 0) & (v[:, 0] < X) & \
+                    (v[:, 1] >= 0) & (v[:, 1] < Y)
+        done = s["done"] | (s["was_inside"] & ~inside_xy)
+        active = ~done
+
+        # exit of the current column along xy
+        use_x = tmax[:, 0] < tmax[:, 1]
+        t_exit = jnp.where(use_x, tmax[:, 0], tmax[:, 1])      # (A,)
+        t_in = s["t_last"]
+
+        vc = jnp.clip(v, 0, jnp.asarray([X - 1, Y - 1]))
+        colbits = cols_flat[vc[:, 0] * Y + vc[:, 1]]           # (A,)
+        colbits = jnp.where(inside_xy, colbits, 0)
+
+        # per pitch ray: z-interval inside this column crossing
+        z_in = z0 + t_in[:, None] * dz[None, :]                # (A, K)
+        zi = jnp.floor(z_in).astype(jnp.int32)                 # entry z voxel
+
+        hit = s["hit"]
+        hit_s = s["hit_s"]
+        hit_v = s["hit_v"]
+        last_s = s["last_s"]
+        last_v = s["last_v"]
+
+        # walk at most max_z_sub z-voxels inside the crossing, in order
+        for j in range(max_z_sub):
+            zj = zi + j * zstep[None, :]                       # (A, K)
+            z_ok = (zj >= 0) & (zj < Z)
+            # s at which the ray leaves voxel zj in z: z boundary ahead
+            zb = zj + (zstep[None, :] > 0)
+            s_zb = jnp.where(dz[None, :] != 0,
+                             (zb.astype(f32) - z0) / dz[None, :], _BIG)
+            # entered this z voxel before the column exit?
+            if j == 0:
+                enters = jnp.ones((A, K), bool)
+            else:
+                # voxel zj is reached iff the ray crosses into it before the
+                # column exit; horizontal rays (dz == 0) never leave z0's
+                # voxel
+                s_enter = jnp.where(
+                    dz[None, :] != 0,
+                    (jnp.where(zstep[None, :] > 0, zj, zj + 1).astype(f32)
+                     - z0) / jnp.where(dz == 0, 1.0, dz)[None, :],
+                    _BIG)
+                enters = (s_enter < t_exit[:, None]) & (dz[None, :] != 0)
+            visit = z_ok & enters & active[:, None] & inside_xy[:, None]
+            occ_bit = ((colbits[:, None] >> jnp.clip(zj, 0, Z - 1)) & 1) > 0
+            s_exit_vox = jnp.minimum(s_zb, t_exit[:, None])    # voxel exit
+
+            newly = visit & occ_bit & ~hit
+            hit_s = jnp.where(newly, s_exit_vox, hit_s)
+            hx = jnp.broadcast_to(v[:, None, 0], (A, K))
+            hy = jnp.broadcast_to(v[:, None, 1], (A, K))
+            cand = jnp.stack([hx, hy, zj], axis=-1)
+            hit_v = jnp.where(newly[..., None], cand, hit_v)
+            hit = hit | newly
+
+            last_s = jnp.where(visit, s_exit_vox, last_s)
+            last_v = jnp.where(visit[..., None], cand, last_v)
+
+        # advance the xy walk
+        adv = active
+        v_new = v.at[:, 0].add(jnp.where(adv & use_x, step[:, 0], 0))
+        v_new = v_new.at[:, 1].add(jnp.where(adv & ~use_x, step[:, 1], 0))
+        tmax_new = tmax.at[:, 0].add(
+            jnp.where(adv & use_x, tdelta[:, 0], 0.0))
+        tmax_new = tmax_new.at[:, 1].add(
+            jnp.where(adv & ~use_x, tdelta[:, 1], 0.0))
+
+        return dict(v=v_new, tmax=tmax_new,
+                    t_last=jnp.where(adv, t_exit, s["t_last"]),
+                    hit=hit, hit_s=hit_s, hit_v=hit_v,
+                    last_s=last_s, last_v=last_v,
+                    was_inside=s["was_inside"] | inside_xy, done=done)
+
+    s = jax.lax.fori_loop(0, max_xy_steps, body, init)
+    dist_s = jnp.where(s["hit"], s["hit_s"], s["last_s"])
+    coord = jnp.where(s["hit"][..., None], s["hit_v"], s["last_v"])
+    dist = dist_s * pitch_scale[None, :].astype(f32)
+    return dist, coord, s["hit"]
