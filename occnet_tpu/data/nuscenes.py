@@ -150,3 +150,32 @@ class NuSceneOccDataset:
             batch[k] = np.stack([s[k] for s in samples])
         batch["tokens"] = [s["token"] for s in samples]
         return batch
+
+
+class ConcatOccDataset:
+    """Concatenation of occ datasets (the reference's `ConcatDataset` of
+    nuScenes + LightwheelOcc synthetic trainsets,
+    `bevformer_base_occ_w_lightwheel.py:181-226`)."""
+
+    def __init__(self, datasets: Sequence["NuSceneOccDataset"]):
+        self.datasets = list(datasets)
+        self._offsets = np.cumsum([0] + [len(d) for d in self.datasets])
+
+    def __len__(self):
+        return int(self._offsets[-1])
+
+    def _locate(self, idx: int):
+        ds = int(np.searchsorted(self._offsets, idx, side="right")) - 1
+        return self.datasets[ds], idx - int(self._offsets[ds])
+
+    def sample_token(self, idx: int) -> str:
+        ds, local = self._locate(idx)
+        return ds.sample_token(local)
+
+    def get_sample(self, idx: int,
+                   rng: Optional[np.random.RandomState] = None) -> dict:
+        ds, local = self._locate(idx)
+        return ds.get_sample(local, rng)
+
+    def collate(self, samples):
+        return self.datasets[0].collate(samples)

@@ -80,9 +80,11 @@ def convert_torchvision_resnet(
 
 def load_resnet_into_variables(variables: Dict, state_dict: Mapping,
                                depth: int = 50,
-                               flip_input_channels: bool = True) -> Dict:
-    """Returns a new variables dict with the backbone subtree replaced by the
-    converted torchvision weights (shape-checked against the existing tree)."""
+                               flip_input_channels: bool = True,
+                               subtree: str = "backbone") -> Dict:
+    """Returns a new variables dict with the backbone subtree (or the root,
+    subtree="") replaced by the converted torchvision weights (shape-checked
+    against the existing tree)."""
     import jax
 
     params, stats = convert_torchvision_resnet(state_dict, depth,
@@ -106,13 +108,19 @@ def load_resnet_into_variables(variables: Dict, state_dict: Mapping,
         return out
 
     new_vars = dict(variables)
-    new_params = dict(new_vars["params"])
-    new_params["backbone"] = merge(new_vars["params"]["backbone"], params,
-                                   "params/backbone")
-    new_vars["params"] = new_params
-    bstats = dict(new_vars.get("batch_stats", {}))
-    if "backbone" in bstats:
-        bstats["backbone"] = merge(bstats["backbone"], stats,
-                                   "batch_stats/backbone")
-        new_vars["batch_stats"] = bstats
+    if subtree:
+        new_params = dict(new_vars["params"])
+        new_params[subtree] = merge(new_vars["params"][subtree], params,
+                                    f"params/{subtree}")
+        new_vars["params"] = new_params
+        bstats = dict(new_vars.get("batch_stats", {}))
+        if subtree in bstats:
+            bstats[subtree] = merge(bstats[subtree], stats,
+                                    f"batch_stats/{subtree}")
+            new_vars["batch_stats"] = bstats
+    else:
+        new_vars["params"] = merge(new_vars["params"], params, "params")
+        if new_vars.get("batch_stats"):
+            new_vars["batch_stats"] = merge(new_vars["batch_stats"], stats,
+                                            "batch_stats")
     return new_vars

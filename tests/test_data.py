@@ -131,3 +131,34 @@ def test_ego_origin_extraction():
     # origin
     lidar2ego_t = np.array([0.94, 0.0, 1.84])
     assert any(np.allclose(o, lidar2ego_t, atol=1e-5) for o in origins)
+
+
+def test_prefetch_loader_order_and_determinism(tmp_path):
+    """PrefetchLoader yields batches in index order with deterministic
+    augmentation RNG."""
+    from occnet_tpu.data.loader import PrefetchLoader
+
+    class FakeDataset:
+        def get_sample(self, idx, rng=None):
+            jitter = 0.0 if rng is None else rng.rand()
+            return {"img": np.full((2, 2), idx, np.float32) + jitter,
+                    "idx": idx}
+
+        def collate(self, samples):
+            return {"img": np.stack([s["img"] for s in samples]),
+                    "idx": [s["idx"] for s in samples]}
+
+    ds = FakeDataset()
+    indices = list(range(10))
+    ld1 = list(PrefetchLoader(ds, 2, indices, seed=3, epoch=1,
+                              num_workers=3, prefetch=2))
+    ld2 = list(PrefetchLoader(ds, 2, indices, seed=3, epoch=1,
+                              num_workers=2, prefetch=1))
+    assert len(ld1) == 5
+    assert [b["idx"] for b in ld1] == [[0, 1], [2, 3], [4, 5], [6, 7], [8, 9]]
+    for b1, b2 in zip(ld1, ld2):
+        np.testing.assert_array_equal(b1["img"], b2["img"])
+    # different epoch -> different augmentation
+    ld3 = list(PrefetchLoader(ds, 2, indices, seed=3, epoch=2))
+    assert not all(np.array_equal(a["img"], b["img"])
+                   for a, b in zip(ld1, ld3))

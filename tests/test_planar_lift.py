@@ -142,3 +142,35 @@ def test_lift_matches_pillar_projection():
     sel = vld & np.asarray(mask)[0, 0].T    # (Z, Q) both-valid
     assert sel.any()
     np.testing.assert_allclose(got[sel], want[sel], atol=0.06, rtol=0.05)
+
+
+def test_fused_lift_matches_scan_lift():
+    """lift_and_average_fused must equal lift_and_average."""
+    from occnet_tpu.ops.planar_lift import (lift_and_average,
+                                            lift_and_average_fused)
+    rng = np.random.RandomState(0)
+    img_hw = (64, 96)
+    feats = []
+    for s in (8, 16):
+        h, w = img_hw[0] // s, img_hw[1] // s
+        feats.append(jnp.asarray(
+            rng.randn(1, 3, h, w, 16).astype(np.float32)))
+    ego2img = np.zeros((1, 3, 4, 4), np.float32)
+    K = np.array([[60.0, 0, 48], [0, 60, 32], [0, 0, 1]])
+    base = np.array([[0.0, -1.0, 0.0], [0.0, 0.0, -1.0], [1.0, 0.0, 0.0]])
+    for ci in range(3):
+        a = 2 * np.pi * ci / 3
+        Rz = np.array([[np.cos(a), -np.sin(a), 0],
+                       [np.sin(a), np.cos(a), 0], [0, 0, 1.0]])
+        m = np.eye(4, dtype=np.float32)
+        m[:3, :3] = K @ (Rz @ base).T
+        ego2img[0, ci] = m
+    ego2img = jnp.asarray(ego2img)
+
+    a1, c1 = lift_and_average(feats, ego2img, PC_RANGE, 4, (14, 14), img_hw)
+    a2, c2 = lift_and_average_fused(feats, ego2img, PC_RANGE, 4, (14, 14),
+                                    img_hw)
+    np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+    d = np.abs(np.asarray(a1, np.float32) - np.asarray(a2, np.float32))
+    assert d.max() < 0.05, d.max()   # bf16 accumulation-order differences
+    assert np.asarray(c1).max() >= 1

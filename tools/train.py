@@ -132,18 +132,26 @@ def main():
     if args.max_steps:
         total_steps = min(total_steps, args.max_steps)
 
+    from occnet_tpu.data.loader import PrefetchLoader
+
     step0 = int(state.step)
     epoch_len = cfg.optim.steps_per_epoch
     t_start = time.time()
+    loader_iter = None
+    loader_epoch = -1
     for step in range(step0, total_steps):
         if dataset is not None:
             epoch = step // epoch_len
-            order = shuffled_shard_indices(len(dataset), 1, 0, epoch,
-                                           cfg.seed)
-            base = (step % epoch_len) * global_batch
-            idxs = order[base: base + global_batch]
-            samples = [dataset.get_sample(int(i), rng) for i in idxs]
-            batch = dataset.collate(samples)
+            if epoch != loader_epoch or loader_iter is None:
+                order = shuffled_shard_indices(len(dataset), 1, 0, epoch,
+                                               cfg.seed)
+                skip = (step % epoch_len) * global_batch
+                loader = PrefetchLoader(
+                    dataset, global_batch, order[skip:], seed=cfg.seed,
+                    epoch=epoch, num_workers=cfg.data.workers)
+                loader_iter = iter(loader)
+                loader_epoch = epoch
+            batch = next(loader_iter)
             batch.pop("tokens")
             batch = shard_batch(batch, mesh)
         else:
