@@ -111,3 +111,37 @@ def pad_to_divisor(imgs: np.ndarray, divisor: int = 32) -> np.ndarray:
     if ph == 0 and pw == 0:
         return imgs
     return np.pad(imgs, ((0, 0), (0, ph), (0, pw), (0, 0)))
+
+
+def random_scale_image(
+    imgs: np.ndarray,               # (N, H, W, 3)
+    lidar2img: np.ndarray,          # (N, 4, 4)
+    rng: np.random.RandomState,
+    scales: Sequence[float] = (0.9, 1.0, 1.1),
+):
+    """Random resize of all views with lidar2img rescaling — equivalent of the
+    reference's (unused) `RandomScaleImageMultiViewImage`
+    (`transform_3d.py:292-331`): one scale drawn per sample, applied to every
+    view, and the projection matrices' first two rows scaled to match.
+    Bilinear resize in pure numpy."""
+    s = scales[rng.randint(len(scales))]
+    if s == 1.0:
+        return imgs, lidar2img
+    n, h, w, c = imgs.shape
+    nh, nw = int(round(h * s)), int(round(w * s))
+    ys = (np.arange(nh) + 0.5) / s - 0.5
+    xs = (np.arange(nw) + 0.5) / s - 0.5
+    y0 = np.clip(np.floor(ys).astype(int), 0, h - 1)
+    x0 = np.clip(np.floor(xs).astype(int), 0, w - 1)
+    y1 = np.clip(y0 + 1, 0, h - 1)
+    x1 = np.clip(x0 + 1, 0, w - 1)
+    ty = (ys - y0).clip(0, 1)[None, :, None, None]
+    tx = (xs - x0).clip(0, 1)[None, None, :, None]
+    out = (imgs[:, y0][:, :, x0] * (1 - ty) * (1 - tx)
+           + imgs[:, y0][:, :, x1] * (1 - ty) * tx
+           + imgs[:, y1][:, :, x0] * ty * (1 - tx)
+           + imgs[:, y1][:, :, x1] * ty * tx)
+    scale_mat = np.eye(4, dtype=lidar2img.dtype)
+    scale_mat[0, 0] = scale_mat[1, 1] = s
+    new_l2i = np.einsum("ij,njk->nik", scale_mat, lidar2img)
+    return out.astype(imgs.dtype), new_l2i

@@ -62,3 +62,27 @@ class LearnedPositionalEncoding3D(nn.Module):
         ], axis=-1)
         pos = pos.reshape(h * w * z, 3 * self.num_feats).astype(self.dtype)
         return jnp.broadcast_to(pos[None], (batch,) + pos.shape)
+
+
+class RelPositionEmbedding(nn.Module):
+    """sin/cos 2D relative position features + MLP — equivalent of the
+    reference's (unused) `RelPositionEmbedding`
+    (`models/utils/position_embedding.py:5-34`)."""
+    num_pos_feats: int = 64
+    out_dim: int = 256
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, h: int, w: int) -> jax.Array:
+        half = self.num_pos_feats // 2
+        freqs = 1.0 / (10000.0 ** (jnp.arange(half) / max(half - 1, 1)))
+        ys = (jnp.arange(h, dtype=jnp.float32) / h)[:, None] * freqs[None, :]
+        xs = (jnp.arange(w, dtype=jnp.float32) / w)[:, None] * freqs[None, :]
+        y_feat = jnp.concatenate([jnp.sin(ys), jnp.cos(ys)], axis=-1)
+        x_feat = jnp.concatenate([jnp.sin(xs), jnp.cos(xs)], axis=-1)
+        pos = jnp.concatenate([
+            jnp.broadcast_to(x_feat[None, :, :], (h, w, self.num_pos_feats)),
+            jnp.broadcast_to(y_feat[:, None, :], (h, w, self.num_pos_feats)),
+        ], axis=-1).reshape(h * w, 2 * self.num_pos_feats)
+        return nn.Dense(self.out_dim, dtype=self.dtype, name="proj")(
+            pos.astype(self.dtype))

@@ -154,3 +154,16 @@ def make_train_step(cfg: OccNetConfig, model: OccNet):
         return new_state, metrics
 
     return train_step
+
+
+def grad_checker(grads: Any, threshold: float = 0.0) -> list:
+    """Dead-parameter detector — equivalent of the reference's GradChecker
+    hook (`models/hooks/hooks.py:5-11`, warns for params with grad == None):
+    returns the paths of parameters whose gradient is identically zero."""
+    dead = []
+    for path, leaf in jax.tree_util.tree_leaves_with_path(grads):
+        import numpy as _np
+        if float(jnp.max(jnp.abs(leaf))) <= threshold:
+            name = "/".join(getattr(p, "key", str(p)) for p in path)
+            dead.append(name)
+    return dead
