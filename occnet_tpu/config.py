@@ -115,6 +115,10 @@ class ModelConfig:
     use_can_bus: bool = True
     # bf16 compute with fp32 islands (point projection, softmax, losses).
     compute_dtype: str = "bfloat16"
+    # Name of the mesh axis to shard the BEV query grid over (spatial/model
+    # parallelism — the "sequence" axis of this model, SURVEY.md section 5);
+    # None/"" = replicated.
+    bev_shard_axis: str = ""
     # Input image size after padding to size_divisor 32 (nuScenes 900x1600).
     img_h: int = 928
     img_w: int = 1600

@@ -24,7 +24,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from occnet_tpu.config import SCAConfig, TSAConfig
-from occnet_tpu.ops.msda import multi_scale_deformable_attention
+from occnet_tpu.ops.msda import (
+    multi_scale_deformable_attention,
+    multi_scale_deformable_attention_chunked,
+)
 
 xavier_uniform = nn.initializers.xavier_uniform()
 
@@ -61,6 +64,9 @@ class MSDeformableAttention3D(nn.Module):
     num_heads: int = 8
     num_levels: int = 4
     num_points: int = 8
+    # query-chunked sampling bounds peak gather memory (the XLA analogue of
+    # the CUDA kernel's im2col_step); 0 = unchunked
+    query_chunk: int = 8000
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -110,6 +116,10 @@ class MSDeformableAttention3D(nn.Module):
             :, :, None, None, None, :, :]
         loc = (ref + offsets).reshape(bs, num_query, H, L, P, 2)
 
+        if self.query_chunk and num_query > self.query_chunk:
+            return multi_scale_deformable_attention_chunked(
+                value, spatial_shapes, loc, attn,
+                chunk_size=self.query_chunk)
         return multi_scale_deformable_attention(
             value, spatial_shapes, loc, attn)
 
@@ -272,8 +282,12 @@ class TemporalSelfAttention(nn.Module):
             offsets.astype(jnp.float32) / normalizer[None, None, None, :,
                                                      None, :]
 
-        out = multi_scale_deformable_attention(
-            value, spatial_shapes, loc, attn)            # (B*2, Q, C)
+        if Q > 8000 and Q % 8000 == 0:
+            out = multi_scale_deformable_attention_chunked(
+                value, spatial_shapes, loc, attn, chunk_size=8000)
+        else:
+            out = multi_scale_deformable_attention(
+                value, spatial_shapes, loc, attn)        # (B*2, Q, C)
         out = out.reshape(B, nq_queue, Q, C).mean(axis=1)
 
         out = nn.Dense(self.embed_dims, dtype=self.dtype,

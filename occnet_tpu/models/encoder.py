@@ -126,6 +126,7 @@ class BEVFormerEncoder(nn.Module):
     bev_w: int
     pc_range: Tuple[float, ...]
     img_hw: Tuple[int, int]
+    bev_shard_axis: str = ""
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -170,6 +171,22 @@ class BEVFormerEncoder(nn.Module):
             # Queue layout [prev, initial current] built once before the layer
             # loop and shared by all layers (`encoder.py:204-215`).
             prev_queue = jnp.stack([prev_bev, bev_query], axis=1)
+
+        def shard_q(x, q_axis):
+            """Spatial (BEV-query) sharding over the model axis: the natural
+            'sequence parallel' axis of this architecture (SURVEY.md
+            section 5) — deformable/dense attention is query-local, so
+            partitioning Q needs no collectives inside a layer."""
+            if not self.bev_shard_axis:
+                return x
+            from jax.sharding import PartitionSpec as P
+            spec = [None] * x.ndim
+            spec[q_axis] = self.bev_shard_axis
+            return jax.lax.with_sharding_constraint(x, P(*spec))
+
+        bev_query = shard_q(bev_query, 1)
+        if self.cfg.mode == "dense":
+            value = shard_q(value, 3)       # (B, L, Z, Q, C)
 
         for lid in range(self.cfg.num_layers):
             bev_query = BEVFormerLayer(

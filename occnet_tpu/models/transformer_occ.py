@@ -76,7 +76,8 @@ class TransformerOcc(nn.Module):
         self.encoder = BEVFormerEncoder(
             c.encoder, embed_dims=c.embed_dims, num_cams=c.num_cams,
             bev_h=c.bev_h, bev_w=c.bev_w, pc_range=c.pc_range,
-            img_hw=(c.img_h, c.img_w), dtype=self.dtype, name="encoder")
+            img_hw=(c.img_h, c.img_w), bev_shard_axis=c.bev_shard_axis,
+            dtype=self.dtype, name="encoder")
         if c.encoder.mode == "dense":
             # shared pre-lift value projection (dense mode; layer-shared by
             # design — the gather path keeps the reference's per-layer proj)

@@ -138,3 +138,23 @@ def test_gt_vs_gt_selfcheck():
     assert scores["RayIoU"] == 1.0
     assert scores["mAVE"] == 0.0
     assert abs(scores["OccScore"] - 1.0) < 1e-9
+
+
+def test_native_cpu_renderer_matches_jax_dda():
+    """The C++ DDA extension must agree with the JAX marcher."""
+    from occnet_tpu.native import dvr_render_forward_cpu
+    rng = np.random.RandomState(2)
+    occ = (rng.rand(24, 20, 12) < 0.05).astype(np.float32)
+    n = 512
+    origins = rng.uniform(2.0, 10.0, size=(n, 3)).astype(np.float32)
+    dirs = rng.randn(n, 3).astype(np.float32)
+    dist_c, coord_c, hit_c = dvr_render_forward_cpu(occ, origins, dirs,
+                                                    max_steps=80)
+    dist_j, coord_j, hit_j = dda_raymarch(
+        jnp.asarray(occ), jnp.asarray(origins), jnp.asarray(dirs),
+        max_steps=80)
+    dist_j, coord_j, hit_j = map(np.asarray, (dist_j, coord_j, hit_j))
+    mismatch = (hit_c != hit_j) | (hit_j & np.any(coord_c != coord_j, -1))
+    assert mismatch.mean() < 0.01, mismatch.sum()
+    ok = ~mismatch
+    np.testing.assert_allclose(dist_c[ok], dist_j[ok], atol=2e-3)
