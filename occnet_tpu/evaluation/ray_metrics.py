@@ -138,6 +138,25 @@ def render_sample_fast(
     return {"dist": dist, "label": label, "flow": fl, "valid": valid}
 
 
+@functools.partial(jax.jit, static_argnames=("num_az",))
+def render_pred_gt(
+    sem_pred: jax.Array, flow_pred: jax.Array,
+    sem_gt: jax.Array, flow_gt: jax.Array,
+    rays: jax.Array, origins: jax.Array, origin_valid: jax.Array,
+    num_az: int = 360,
+):
+    """Render prediction and ground truth in ONE dispatch (vmapped over the
+    two grids) — halves the per-sample eval dispatch overhead."""
+    sems = jnp.stack([sem_pred, sem_gt])
+    flows = jnp.stack([flow_pred, flow_gt])
+    outs = jax.vmap(
+        lambda s, f: render_sample_fast(s, f, rays, origins, origin_valid,
+                                        num_az=num_az))(sems, flows)
+    pred = {k: v[0] for k, v in outs.items()}
+    gt = {k: v[1] for k, v in outs.items()}
+    return pred, gt
+
+
 @functools.partial(jax.jit, static_argnames=())
 def _count_sample(pred: Dict[str, jax.Array], gt: Dict[str, jax.Array]):
     """Per-sample TP/GT/pred counts + flow-error sums, vectorised over the

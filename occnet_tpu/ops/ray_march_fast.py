@@ -162,7 +162,8 @@ def dda_raymarch_fan(
                     last_s=last_s, last_v=last_v,
                     was_inside=s["was_inside"] | inside_xy, done=done)
 
-    s = jax.lax.fori_loop(0, max_xy_steps, body, init)
+    # unroll: the walk is iteration-count-bound (tiny per-step kernels)
+    s = jax.lax.fori_loop(0, max_xy_steps, body, init, unroll=4)
     dist_s = jnp.where(s["hit"], s["hit_s"], s["last_s"])
     coord = jnp.where(s["hit"][..., None], s["hit_v"], s["last_v"])
     dist = dist_s * pitch_scale[None, :].astype(f32)

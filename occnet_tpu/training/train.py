@@ -162,7 +162,6 @@ def grad_checker(grads: Any, threshold: float = 0.0) -> list:
     returns the paths of parameters whose gradient is identically zero."""
     dead = []
     for path, leaf in jax.tree_util.tree_leaves_with_path(grads):
-        import numpy as _np
         if float(jnp.max(jnp.abs(leaf))) <= threshold:
             name = "/".join(getattr(p, "key", str(p)) for p in path)
             dead.append(name)

@@ -1,0 +1,109 @@
+"""Temporal path tests: ego-pose deltas, prev-BEV alignment, history-BEV
+extraction, video train step, streaming inference state."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from occnet_tpu.config import tiny_turbo_occ
+from occnet_tpu.models.detector import OccNet
+from occnet_tpu.training.temporal import (
+    StreamingInferenceState,
+    align_prev_bev,
+    ego_deltas_from_poses,
+    make_history_bev_fn,
+)
+
+
+def _yaw_pose(x, y, yaw_deg):
+    a = np.deg2rad(yaw_deg)
+    m = np.eye(4)
+    m[:2, :2] = [[np.cos(a), -np.sin(a)], [np.sin(a), np.cos(a)]]
+    m[0, 3] = x
+    m[1, 3] = y
+    return m
+
+
+def test_ego_deltas():
+    p0 = _yaw_pose(0, 0, 10)
+    p1 = _yaw_pose(3, 4, 40)
+    delta_xy, yaw_delta, yaw_curr = ego_deltas_from_poses(p0, p1)
+    np.testing.assert_allclose(yaw_delta, 30.0, atol=1e-4)
+    np.testing.assert_allclose(yaw_curr, 40.0, atol=1e-4)
+    # translation expressed in the prev-ego frame
+    want = np.linalg.inv(p0)[:2, :2] @ [3, 4] + np.linalg.inv(p0)[:2, 3]
+    np.testing.assert_allclose(delta_xy, want, atol=1e-4)
+
+
+def test_align_prev_bev_rotation():
+    h = w = 8
+    c = 2
+    bev = np.zeros((1, h * w, c), np.float32)
+    bev[0, 2 * w + 4] = 1.0    # (y=2, x=4)
+    out = align_prev_bev(jnp.asarray(bev), jnp.asarray([90.0]), (h, w),
+                         rotate_center=(3.5, 3.5))
+    out = np.asarray(out).reshape(h, w, c)
+    # 90deg CCW about centre: the hot pixel moves to a single new cell
+    assert out.sum() == pytest.approx(2.0, abs=1e-5)
+    ys, xs = np.nonzero(out[..., 0])
+    assert len(ys) == 1 and (ys[0], xs[0]) != (2, 4)
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    cfg = tiny_turbo_occ()
+    model_cfg = dataclasses.replace(
+        cfg.model, img_h=32, img_w=48, bev_h=6, bev_w=6, pillar_h=2,
+        embed_dims=16, out_dim=4, num_cams=2, compute_dtype="float32",
+        encoder=dataclasses.replace(cfg.model.encoder, num_layers=1,
+                                    ffn_dim=32, num_points_in_pillar=2))
+    cfg = dataclasses.replace(cfg, model=model_cfg)
+    model = OccNet(cfg.model)
+    rng = np.random.RandomState(0)
+    img = rng.randn(1, 2, 32, 48, 3).astype(np.float32)
+    ego2img = np.tile(np.eye(4, dtype=np.float32), (1, 2, 1, 1))
+    K = np.array([[24.0, 0, 24], [0, 24, 16], [0, 0, 1]])
+    base = np.array([[0.0, -1, 0], [0, 0, -1], [1, 0, 0.0]])
+    ego2img[0, 0, :3, :3] = (K @ base).astype(np.float32)
+    ego2img[0, 1, :3, :3] = (K @ -base).astype(np.float32)
+    params = model.init({"params": jax.random.PRNGKey(0)},
+                        jnp.asarray(img), jnp.asarray(ego2img))
+    return cfg, model, params, jnp.asarray(img), jnp.asarray(ego2img)
+
+
+def test_history_bev_fn_chains(tiny_model):
+    cfg, model, params, img, ego2img = tiny_model
+    m = cfg.model
+    T = 3
+    imgs_q = jnp.broadcast_to(img[:, None], (1, T) + img.shape[1:])
+    ego_q = jnp.broadcast_to(ego2img[:, None], (1, T) + ego2img.shape[1:])
+    rot = jnp.zeros((1, T))
+    shifts = jnp.zeros((1, T, 2))
+    exists = jnp.ones((1, T), bool)
+    fn = make_history_bev_fn(model, cfg)
+    prev = fn(params["params"], params.get("batch_stats", {}),
+              imgs_q, ego_q, rot, shifts, exists)
+    assert prev.shape == (1, m.bev_h * m.bev_w, m.embed_dims)
+    assert np.isfinite(np.asarray(prev)).all()
+    # chaining changes the result vs the single-frame BEV
+    single = model.apply(params, img, ego2img, only_bev=True)
+    assert not np.allclose(np.asarray(prev), np.asarray(single), atol=1e-6)
+
+
+def test_streaming_inference_resets_on_scene_change(tiny_model):
+    cfg, model, params, img, ego2img = tiny_model
+    state = StreamingInferenceState(cfg, model, params["params"],
+                                    params.get("batch_stats", {}))
+    out1 = state.step(img, ego2img, "scene-A", _yaw_pose(0, 0, 0))
+    assert state.prev_scene == "scene-A"
+    out2 = state.step(img, ego2img, "scene-A", _yaw_pose(1.0, 0, 5))
+    # temporal second frame differs from the first (prev_bev engaged)
+    assert not np.allclose(np.asarray(out1["occ"]), np.asarray(out2["occ"]))
+    out3 = state.step(img, ego2img, "scene-B", _yaw_pose(0, 0, 0))
+    # scene reset -> identical to a fresh single-frame pass
+    np.testing.assert_allclose(np.asarray(out3["occ"]),
+                               np.asarray(out1["occ"]), atol=1e-5)

@@ -39,8 +39,8 @@ def main():
     from occnet_tpu.config import get_config, apply_overrides
     from occnet_tpu.data import NuSceneOccDataset
     from occnet_tpu.evaluation import (
-        RayMetricAccumulator, generate_lidar_rays, occ_score_from_metrics,
-        render_sample)
+        RayMetricAccumulator, generate_lidar_rays, occ_score_from_metrics)
+    from occnet_tpu.evaluation.ray_metrics import render_pred_gt
     from occnet_tpu.evaluation.ray_metrics import format_metrics_table
     from occnet_tpu.evaluation.ego_pose import extract_ego_origins, pad_origins
     from occnet_tpu.evaluation.submission import write_submission
@@ -93,12 +93,11 @@ def main():
             sub_samples.append((s["token"], sem_pred, flow_pred, origins))
         if args.eval:
             padded, valid = pad_origins(origins, cfg.eval.max_origins)
-            pred = render_sample(jnp.asarray(sem_pred),
-                                 jnp.asarray(flow_pred), rays,
-                                 jnp.asarray(padded), jnp.asarray(valid))
-            gt = render_sample(jnp.asarray(s["voxel_semantics"]),
-                               jnp.asarray(s["voxel_flow"]), rays,
-                               jnp.asarray(padded), jnp.asarray(valid))
+            pred, gt = render_pred_gt(
+                jnp.asarray(sem_pred), jnp.asarray(flow_pred),
+                jnp.asarray(s["voxel_semantics"]),
+                jnp.asarray(s["voxel_flow"]), rays,
+                jnp.asarray(padded), jnp.asarray(valid))
             acc.update(pred, gt)
         if (i + 1) % 50 == 0:
             print(f"{i + 1}/{n}  {(time.time() - t0) / (i + 1):.2f}s/frame")

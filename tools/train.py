@@ -84,7 +84,8 @@ def main():
         format="%(asctime)s %(levelname)s %(message)s",
         handlers=[logging.StreamHandler(),
                   logging.FileHandler(os.path.join(
-                      work_dir, f"train_{int(time.time())}.log"))])
+                      work_dir, f"train_{int(time.time())}.log"))],
+        force=True)   # jax/absl pre-configure the root logger
     log = logging.getLogger("occnet_tpu")
     log.info("devices: %s", jax.devices())
     log.info("config: %s", cfg)
@@ -99,8 +100,7 @@ def main():
         ann = os.path.join(cfg.data.data_root, cfg.data.train_ann)
         dataset = NuSceneOccDataset(cfg.data, ann, training=True)
         steps_per_epoch = max(len(dataset) // global_batch, 1)
-        from occnet_tpu.config import apply_overrides as _ao
-        cfg = _ao(cfg, {"optim.steps_per_epoch": steps_per_epoch})
+        cfg = apply_overrides(cfg, {"optim.steps_per_epoch": steps_per_epoch})
         log.info("dataset: %d frames, %d steps/epoch", len(dataset),
                  steps_per_epoch)
 
