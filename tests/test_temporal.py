@@ -107,3 +107,40 @@ def test_streaming_inference_resets_on_scene_change(tiny_model):
     # scene reset -> identical to a fresh single-frame pass
     np.testing.assert_allclose(np.asarray(out3["occ"]),
                                np.asarray(out1["occ"]), atol=1e-5)
+
+
+def test_run_evaluation_pipeline(tiny_model):
+    """In-training eval hook wiring: inference -> render -> scores."""
+    cfg, model, params, img, ego2img = tiny_model
+
+    class FakeVal:
+        def __init__(self):
+            self.infos = [{
+                "token": f"tok{i}",
+                "occ_path": f"openocc_v2/scene-X/tok{i}/labels.npz",
+                "lidar2ego_translation": [0.9, 0.0, 1.8],
+                "lidar2ego_rotation": [1.0, 0, 0, 0],
+                "ego2global_translation": [10.0 * i, 0.0, 0.0],
+                "ego2global_rotation": [1.0, 0, 0, 0],
+            } for i in range(2)]
+
+        def __len__(self):
+            return 2
+
+        def get_sample(self, i, rng=None):
+            m = cfg.model
+            return {
+                "img": np.asarray(img[0]),
+                "ego2img": np.asarray(ego2img[0]),
+                "voxel_semantics": np.full(
+                    (m.bev_w, m.bev_h, m.pillar_h), 16, np.int32),
+                "voxel_flow": np.zeros(
+                    (m.bev_w, m.bev_h, m.pillar_h, 2), np.float32),
+                "token": f"tok{i}",
+            }
+
+    from occnet_tpu.training.eval_loop import run_evaluation
+    scores = run_evaluation(cfg, model, params["params"],
+                            params.get("batch_stats", {}), FakeVal(),
+                            log=lambda *a: None)
+    assert set(scores) >= {"RayIoU", "mAVE", "OccScore"}

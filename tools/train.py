@@ -35,6 +35,9 @@ def parse_args():
                    help="train on random tensors (no dataset on disk)")
     p.add_argument("--log-interval", type=int, default=50)
     p.add_argument("--ckpt-interval-epochs", type=int, default=1)
+    p.add_argument("--eval-interval-epochs", type=int, default=0,
+                   help="run ray-metric evaluation on the val split every N "
+                        "epochs (the reference's eval hook; 0 = off)")
     p.add_argument("--set", nargs="*", default=[], metavar="KEY=VAL",
                    help="dotted config overrides")
     return p.parse_args()
@@ -168,6 +171,15 @@ def main():
                 step == total_steps - 1:
             ckpt.save(step + 1, state, cfg)
             log.info("checkpoint @ step %d", step + 1)
+        if (args.eval_interval_epochs and dataset is not None
+                and (step + 1) % (epoch_len * args.eval_interval_epochs)
+                == 0):
+            from occnet_tpu.training.eval_loop import run_evaluation
+            val = NuSceneOccDataset(
+                cfg.data, os.path.join(cfg.data.data_root, cfg.data.val_ann),
+                training=False)
+            run_evaluation(cfg, model, state.params, state.batch_stats, val,
+                           log=log.info)
     log.info("done: %d steps", total_steps - step0)
 
 
