@@ -38,6 +38,10 @@ def parse_args():
     p.add_argument("--eval-interval-epochs", type=int, default=0,
                    help="run ray-metric evaluation on the val split every N "
                         "epochs (the reference's eval hook; 0 = off)")
+    p.add_argument("--backbone-checkpoint", default=None,
+                   help="torchvision resnet state_dict (.pth) to initialise "
+                        "the backbone (the reference's "
+                        "pretrained='torchvision://resnet50')")
     p.add_argument("--set", nargs="*", default=[], metavar="KEY=VAL",
                    help="dotted config overrides")
     return p.parse_args()
@@ -122,6 +126,20 @@ def main():
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(state.params))
     log.info("model init in %.1fs — %.2fM params", time.time() - t0,
              n_params / 1e6)
+
+    if args.backbone_checkpoint:
+        import torch
+        from occnet_tpu.utils.torch_convert import load_resnet_into_variables
+        sd = torch.load(args.backbone_checkpoint, map_location="cpu",
+                        weights_only=True)
+        sd = sd.get("state_dict", sd)
+        depth = int(cfg.model.backbone.type.replace("resnet", ""))
+        new_vars = load_resnet_into_variables(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            sd, depth=depth)
+        state = state.replace(params=new_vars["params"],
+                              batch_stats=new_vars["batch_stats"])
+        log.info("backbone initialised from %s", args.backbone_checkpoint)
 
     ckpt = CheckpointManager(os.path.join(work_dir, "ckpts"))
     if args.resume and ckpt.latest_step() is not None:
