@@ -138,6 +138,33 @@ def render_sample_fast(
     return {"dist": dist, "label": label, "flow": fl, "valid": valid}
 
 
+def _render_grids(sems, flows, rays, origins, origin_valid, num_az):
+    """Loop-free render of G grids x T origins (`ops/ray_march_vec.py`): all
+    (grid, origin, azimuth) marches batch into one gather instead of ~420
+    dependent tiny steps.  Returns dict of (G, T, R) arrays, R pitch-major."""
+    from occnet_tpu.ops.ray_march_vec import dda_raymarch_fan_vec
+
+    occs = (sems != FREE_ID)
+    offset = jnp.asarray(_PC_RANGE[:3], jnp.float32)
+    az_dirs, pitch_dz, pitch_scale = fan_parameters(rays, num_az)
+    G = sems.shape[0]
+    R = rays.shape[0]
+    T = origins.shape[0]
+
+    o_vox = (origins - offset[None]) / _VOXEL_SIZE
+    dist, coord, hit = dda_raymarch_fan_vec(
+        occs, o_vox, az_dirs, pitch_dz, pitch_scale)   # (G, T, A, K[,3])
+    # (G, T, A, K) -> pitch-major (G, T, K*A)
+    dist = jnp.swapaxes(dist, 2, 3).reshape(G, T, R) * _VOXEL_SIZE
+    coord = jnp.swapaxes(coord, 2, 3).reshape(G, T, R, 3)
+    label = jax.vmap(lambda s, c: s[c[..., 0], c[..., 1], c[..., 2]])(
+        sems, coord)
+    fl = jax.vmap(lambda f, c: f[c[..., 0], c[..., 1], c[..., 2]])(
+        flows, coord)
+    valid = jnp.broadcast_to(origin_valid[None, :, None], dist.shape)
+    return {"dist": dist, "label": label, "flow": fl, "valid": valid}
+
+
 @functools.partial(jax.jit, static_argnames=("num_az",))
 def render_pred_gt(
     sem_pred: jax.Array, flow_pred: jax.Array,
@@ -145,16 +172,24 @@ def render_pred_gt(
     rays: jax.Array, origins: jax.Array, origin_valid: jax.Array,
     num_az: int = 360,
 ):
-    """Render prediction and ground truth in ONE dispatch (vmapped over the
-    two grids) — halves the per-sample eval dispatch overhead."""
-    sems = jnp.stack([sem_pred, sem_gt])
-    flows = jnp.stack([flow_pred, flow_gt])
-    outs = jax.vmap(
-        lambda s, f: render_sample_fast(s, f, rays, origins, origin_valid,
-                                        num_az=num_az))(sems, flows)
+    """Render prediction and ground truth in ONE loop-free dispatch."""
+    outs = _render_grids(
+        jnp.stack([sem_pred, sem_gt]), jnp.stack([flow_pred, flow_gt]),
+        rays, origins, origin_valid, num_az)
     pred = {k: v[0] for k, v in outs.items()}
     gt = {k: v[1] for k, v in outs.items()}
     return pred, gt
+
+
+@functools.partial(jax.jit, static_argnames=("num_az",))
+def render_sample_vec(
+    sem: jax.Array, flow: jax.Array, rays: jax.Array, origins: jax.Array,
+    origin_valid: jax.Array, num_az: int = 360,
+):
+    """`render_sample_fast` contract on the loop-free marcher."""
+    outs = _render_grids(sem[None], flow[None], rays, origins, origin_valid,
+                         num_az)
+    return {k: v[0] for k, v in outs.items()}
 
 
 @functools.partial(jax.jit, static_argnames=())

@@ -22,7 +22,7 @@ from occnet_tpu.evaluation.ray_metrics import (
     THRESHOLDS,
     generate_lidar_rays,
     occ_score_from_metrics,
-    render_sample_fast,
+    render_sample_vec,
 )
 from occnet_tpu.evaluation.ego_pose import pad_origins
 
@@ -31,7 +31,7 @@ def render_to_pcd(sem: np.ndarray, flow: np.ndarray, rays: np.ndarray,
                   origins: np.ndarray, max_origins: int = 8):
     """Render one sample -> flat (label, dist, flow) arrays over T*R rays."""
     padded, valid = pad_origins(origins, max_origins)
-    out = render_sample_fast(jnp.asarray(sem.astype(np.int32)),
+    out = render_sample_vec(jnp.asarray(sem.astype(np.int32)),
                              jnp.asarray(flow), jnp.asarray(rays),
                              jnp.asarray(padded), jnp.asarray(valid))
     keep = np.asarray(out["valid"]).reshape(-1)
