@@ -4,3 +4,10 @@ from occnet_tpu.parallel.mesh import (  # noqa: F401
     replicated_sharding,
     shard_batch,
 )
+from occnet_tpu.parallel.multihost import (  # noqa: F401
+    allgather_host,
+    barrier,
+    global_batch,
+    initialize,
+    process_shard,
+)

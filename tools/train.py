@@ -42,6 +42,10 @@ def parse_args():
                    help="torchvision resnet state_dict (.pth) to initialise "
                         "the backbone (the reference's "
                         "pretrained='torchvision://resnet50')")
+    p.add_argument("--distributed", action="store_true",
+                   help="multi-host: jax.distributed.initialize from "
+                        "JAX_COORDINATOR_ADDRESS/JAX_NUM_PROCESSES/"
+                        "JAX_PROCESS_ID (no-op on auto-detected TPU pods)")
     p.add_argument("--set", nargs="*", default=[], metavar="KEY=VAL",
                    help="dotted config overrides")
     return p.parse_args()
@@ -73,11 +77,16 @@ def make_synthetic_batch(cfg, batch_size, rng):
 def main():
     args = parse_args()
     import jax
+    from occnet_tpu import parallel
     from occnet_tpu.config import get_config, apply_overrides
-    from occnet_tpu.parallel import make_mesh, shard_batch
+    from occnet_tpu.parallel import make_mesh
     from occnet_tpu.training import create_train_state, make_train_step
     from occnet_tpu.training.checkpoint import CheckpointManager
     from occnet_tpu.data import NuSceneOccDataset, shuffled_shard_indices
+
+    if args.distributed:
+        parallel.initialize()
+    proc, n_proc = parallel.process_shard()
 
     cfg = get_config(args.config)
     overrides = dict(kv.split("=", 1) for kv in args.set)
@@ -164,17 +173,21 @@ def main():
         if dataset is not None:
             epoch = step // epoch_len
             if epoch != loader_epoch or loader_iter is None:
-                order = shuffled_shard_indices(len(dataset), 1, 0, epoch,
-                                               cfg.seed)
-                skip = (step % epoch_len) * global_batch
+                # per-process shard of the epoch-seeded permutation (the
+                # DistributedGroupSampler analogue; each host loads only its
+                # slice of the global batch)
+                order = shuffled_shard_indices(len(dataset), n_proc, proc,
+                                               epoch, cfg.seed)
+                local_batch = global_batch // n_proc
+                skip = (step % epoch_len) * local_batch
                 loader = PrefetchLoader(
-                    dataset, global_batch, order[skip:], seed=cfg.seed,
+                    dataset, local_batch, order[skip:], seed=cfg.seed,
                     epoch=epoch, num_workers=cfg.data.workers)
                 loader_iter = iter(loader)
                 loader_epoch = epoch
             batch = next(loader_iter)
             batch.pop("tokens")
-            batch = shard_batch(batch, mesh)
+            batch = parallel.global_batch(batch, mesh)
         else:
             batch = sample
         state, metrics = step_fn(state, batch, key)
