@@ -37,6 +37,9 @@ class BackboneConfig:
     frozen_stages: int = 1          # stem + stage1 get zero gradient
     norm_eval: bool = True          # BN always uses running stats
     out_indices: Tuple[int, ...] = (1, 2, 3)   # C3, C4, C5
+    # Per-stage DCNv2 (mmdet `stage_with_dcn`); R101-DCN lineage config uses
+    # (False, False, True, True).
+    dcn_stages: Tuple[bool, ...] = (False, False, False, False)
     # VoVNet variant spec name (used when type == "vovnet").
     vovnet_spec: str = "V-99-eSE"
 
@@ -90,6 +93,9 @@ class EncoderConfig:
     ffn_dim: int = 512
     ffn_dropout: float = 0.1
     mode: str = "gather"
+    # Planar-lift implementation for dense mode: "auto" = Pallas kernels on
+    # TPU / einsum elsewhere; "pallas" / "einsum" force one.
+    lift_impl: str = "auto"
     tsa: TSAConfig = field(default_factory=TSAConfig)
     sca: SCAConfig = field(default_factory=SCAConfig)
 
@@ -233,11 +239,34 @@ def tiny_turbo_occ() -> OccNetConfig:
     return dataclasses.replace(cfg, model=model)
 
 
+def r101_dcn_occ() -> OccNetConfig:
+    """OccNet-R101-DCN base (BASELINE.json config 3): ResNet-101 with DCNv2
+    on stages 3-4 (the BEVFormer/OccNet lineage backbone), exact encoder."""
+    cfg = OccNetConfig()
+    model = dataclasses.replace(
+        cfg.model,
+        backbone=dataclasses.replace(
+            cfg.model.backbone, type="resnet101",
+            dcn_stages=(False, False, True, True)))
+    return dataclasses.replace(cfg, model=model)
+
+
+def turbo_r101_dcn_occ() -> OccNetConfig:
+    """R101-DCN backbone with the dense TPU-native encoder."""
+    cfg = r101_dcn_occ()
+    model = dataclasses.replace(
+        cfg.model,
+        encoder=dataclasses.replace(cfg.model.encoder, mode="dense"))
+    return dataclasses.replace(cfg, model=model)
+
+
 CONFIGS = {
     "base_occ": base_occ,
     "tiny_occ": tiny_occ,
     "turbo_occ": turbo_occ,
     "tiny_turbo_occ": tiny_turbo_occ,
+    "r101_dcn_occ": r101_dcn_occ,
+    "turbo_r101_dcn_occ": turbo_r101_dcn_occ,
 }
 
 

@@ -40,7 +40,8 @@ class OccNet(nn.Module):
             depth = int(c.backbone.type.replace("resnet", ""))
             self.backbone = ResNet(
                 depth=depth, out_indices=c.backbone.out_indices,
-                frozen_stages=c.backbone.frozen_stages, dtype=self.dtype,
+                frozen_stages=c.backbone.frozen_stages,
+                dcn_stages=c.backbone.dcn_stages, dtype=self.dtype,
                 name="backbone")
         # FPN channels are coupled to the transformer width (the reference's
         # `_dim_` ties them, config :36,61).

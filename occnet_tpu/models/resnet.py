@@ -51,9 +51,12 @@ class FrozenBatchNorm(nn.Module):
 
 class Bottleneck(nn.Module):
     """1x1 -> 3x3(stride) -> 1x1 bottleneck with identity/projection shortcut
-    ("pytorch style": stride on the middle conv, like torchvision)."""
+    ("pytorch style": stride on the middle conv, like torchvision).  With
+    `dcn=True` the 3x3 becomes a modulated deformable conv (DCNv2) — the
+    R101-DCN backbone variant of the BEVFormer/OccNet lineage."""
     mid: int
     stride: int = 1
+    dcn: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -67,7 +70,12 @@ class Bottleneck(nn.Module):
         y = conv(self.mid, 1, 1, "conv1")(x)
         y = FrozenBatchNorm(self.mid, dtype=self.dtype, name="bn1")(y)
         y = nn.relu(y)
-        y = conv(self.mid, 3, self.stride, "conv2")(y)
+        if self.dcn:
+            from occnet_tpu.ops.deform_conv import ModulatedDeformConv
+            y = ModulatedDeformConv(self.mid, kernel=3, stride=self.stride,
+                                    dtype=self.dtype, name="conv2")(y)
+        else:
+            y = conv(self.mid, 3, self.stride, "conv2")(y)
         y = FrozenBatchNorm(self.mid, dtype=self.dtype, name="bn2")(y)
         y = nn.relu(y)
         y = conv(out_ch, 1, 1, "conv3")(y)
@@ -85,6 +93,9 @@ class ResNet(nn.Module):
     depth: int = 50
     out_indices: Tuple[int, ...] = (1, 2, 3)
     frozen_stages: int = 1
+    # per-stage DCNv2 switch (mmdet `stage_with_dcn`), e.g. R101-DCN uses
+    # (False, False, True, True)
+    dcn_stages: Tuple[bool, ...] = (False, False, False, False)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -108,7 +119,8 @@ class ResNet(nn.Module):
         for stage, n_blocks in enumerate(blocks):
             for b in range(n_blocks):
                 stride = 2 if (b == 0 and stage > 0) else 1
-                x = Bottleneck(mid, stride=stride, dtype=self.dtype,
+                x = Bottleneck(mid, stride=stride,
+                               dcn=self.dcn_stages[stage], dtype=self.dtype,
                                name=f"layer{stage + 1}_{b}")(x)
             if stage + 1 <= self.frozen_stages:
                 x = jax.lax.stop_gradient(x)

@@ -1,0 +1,112 @@
+"""Modulated deformable convolution (DCNv2) — XLA formulation.
+
+Capability equivalent of mmcv's `ModulatedDeformConv2dPack` as used by the
+BEVFormer/OccNet R101-DCN backbones (BASELINE.json config 3; the reference's
+occ configs ship R50, but the lineage's R101-DCN config enables
+`dcn=dict(type='DCNv2')` on ResNet stages 3-4).
+
+Formulation: a regular conv predicts per-output-pixel offsets (and a sigmoid
+modulation mask); each of the kh*kw taps is bilinearly sampled at its offset
+position (`ops/msda.bilinear_sample`, grid_sample zero-padding semantics) and
+the modulated samples contract against the conv weight on the MXU.  The
+sampling is a gather (~ho*wo*K rows per call) — on TPU this is the documented
+slow-but-exact path, mirroring how the exact deformable-attention mode is the
+parity path (see README "two encoder modes").
+
+Offset channel layout follows mmcv: for tap k, channels (2k, 2k+1) = (dy, dx),
+mask channel k after all offsets — so converted torch checkpoints drop in.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from occnet_tpu.ops.msda import bilinear_sample
+
+
+def modulated_deform_conv(
+    x: jax.Array,          # (B, h, w, Cin) NHWC
+    offset: jax.Array,     # (B, ho, wo, 2*K) — (dy, dx) per tap, mmcv order
+    mask: Optional[jax.Array],   # (B, ho, wo, K) post-sigmoid, or None (v1)
+    weight: jax.Array,     # (kh, kw, Cin, Cout)
+    bias: Optional[jax.Array] = None,
+    stride: int = 1,
+    dilation: int = 1,
+) -> jax.Array:
+    """'same'-style padding pad = dilation * (k - 1) // 2 (the 3x3 backbone
+    case); output (B, ho, wo, Cout) with ho = ceil(h / stride)."""
+    B, h, w, Cin = x.shape
+    kh, kw, _, Cout = weight.shape
+    K = kh * kw
+    pad = dilation * (kh - 1) // 2
+    ho = -(-h // stride)
+    wo = -(-w // stride)
+
+    oy = jnp.arange(ho, dtype=jnp.float32) * stride - pad
+    ox = jnp.arange(wo, dtype=jnp.float32) * stride - pad
+    ky = jnp.arange(kh, dtype=jnp.float32) * dilation
+    kx = jnp.arange(kw, dtype=jnp.float32) * dilation
+    # per-tap (row-major k = ky * kw + kx) base positions
+    ky_tap = jnp.repeat(ky, kw)                          # (K,)
+    kx_tap = jnp.tile(kx, kh)                            # (K,)
+    base_y = oy[:, None, None] + ky_tap[None, None, :]   # (ho, 1, K)
+    base_x = ox[None, :, None] + kx_tap[None, None, :]   # (1, wo, K)
+
+    off = offset.astype(jnp.float32).reshape(B, ho, wo, K, 2)
+    py = base_y[None] + off[..., 0]
+    px = base_x[None] + off[..., 1]
+    # normalised loc for bilinear_sample (pixel centres at (i + 0.5)/extent)
+    loc = jnp.stack([(px + 0.5) / w, (py + 0.5) / h], axis=-1)
+    loc = loc.reshape(B, 1, ho * wo * K, 2)
+
+    value = x.reshape(B, 1, h * w, Cin)
+    sampled = bilinear_sample(value, h, w, loc)          # (B, 1, N, Cin)
+    sampled = sampled.reshape(B, ho * wo, K, Cin)
+    if mask is not None:
+        sampled = sampled * mask.reshape(B, ho * wo, K, 1).astype(
+            sampled.dtype)
+
+    out = jnp.einsum("bnkc,kco->bno", sampled,
+                     weight.reshape(K, Cin, Cout),
+                     preferred_element_type=jnp.float32)
+    out = out.reshape(B, ho, wo, Cout).astype(x.dtype)
+    if bias is not None:
+        out = out + bias.astype(out.dtype)
+    return out
+
+
+class ModulatedDeformConv(nn.Module):
+    """DCNv2 layer: conv_offset (zero-init regular conv -> 2K offsets + K
+    mask logits) + deformable 3x3 conv, mmcv-compatible parameter layout
+    (`conv_offset` weights convert from `ModulatedDeformConv2dPack`)."""
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    dilation: int = 1
+    use_bias: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        K = self.kernel * self.kernel
+        pad = self.dilation * (self.kernel - 1) // 2
+        co = nn.Conv(3 * K, (self.kernel, self.kernel),
+                     strides=(self.stride, self.stride),
+                     padding=[(pad, pad)] * 2,
+                     kernel_init=nn.initializers.zeros,
+                     bias_init=nn.initializers.zeros,
+                     dtype=self.dtype, name="conv_offset")(x)
+        off = co[..., :2 * K]
+        mask = jax.nn.sigmoid(co[..., 2 * K:].astype(jnp.float32))
+        weight = self.param(
+            "kernel", nn.initializers.he_normal(),
+            (self.kernel, self.kernel, x.shape[-1], self.features))
+        bias = (self.param("bias", nn.initializers.zeros, (self.features,))
+                if self.use_bias else None)
+        return modulated_deform_conv(
+            x, off, mask, weight.astype(self.dtype), bias,
+            stride=self.stride, dilation=self.dilation)

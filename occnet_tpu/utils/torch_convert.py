@@ -65,8 +65,20 @@ def convert_torchvision_resnet(
             bp: Dict = {}
             bs: Dict = {}
             for ci in (1, 2, 3):
-                bp[f"conv{ci}"] = {
-                    "kernel": _conv(sd[f"{src}.conv{ci}.weight"])}
+                if ci == 2 and f"{src}.conv2.conv_offset.weight" in sd:
+                    # DCNv2 block (mmcv ModulatedDeformConv2dPack)
+                    bp["conv2"] = {
+                        "kernel": _conv(sd[f"{src}.conv2.weight"]),
+                        "conv_offset": {
+                            "kernel": _conv(
+                                sd[f"{src}.conv2.conv_offset.weight"]),
+                            "bias": _to_np(
+                                sd[f"{src}.conv2.conv_offset.bias"]),
+                        },
+                    }
+                else:
+                    bp[f"conv{ci}"] = {
+                        "kernel": _conv(sd[f"{src}.conv{ci}.weight"])}
                 bp[f"bn{ci}"], bs[f"bn{ci}"] = bn_pair(f"{src}.bn{ci}")
             if f"{src}.downsample.0.weight" in sd:
                 bp["downsample_conv"] = {
@@ -123,4 +135,171 @@ def load_resnet_into_variables(variables: Dict, state_dict: Mapping,
         if new_vars.get("batch_stats"):
             new_vars["batch_stats"] = merge(new_vars["batch_stats"], stats,
                                             "batch_stats")
+    return new_vars
+
+
+# ---------------------------------------------------------------------------
+# Full BEVFormerOcc checkpoint conversion (reference train.py checkpoints)
+# ---------------------------------------------------------------------------
+
+def _lin(sd, src):
+    """torch Linear -> flax Dense {kernel (I, O), bias}."""
+    out = {"kernel": np.transpose(_to_np(sd[f"{src}.weight"]))}
+    if f"{src}.bias" in sd:
+        out["bias"] = _to_np(sd[f"{src}.bias"])
+    return out
+
+
+def _conv2d(sd, src):
+    out = {"kernel": _conv(sd[f"{src}.weight"])}
+    if f"{src}.bias" in sd:
+        out["bias"] = _to_np(sd[f"{src}.bias"])
+    return out
+
+
+def _conv3d(t) -> np.ndarray:
+    # torch (O, I, kD, kH, kW) -> flax (kD, kH, kW, I, O)
+    return np.transpose(_to_np(t), (2, 3, 4, 1, 0))
+
+
+def _ln(sd, src):
+    return {"scale": _to_np(sd[f"{src}.weight"]),
+            "bias": _to_np(sd[f"{src}.bias"])}
+
+
+def convert_bevformer_occ_checkpoint(
+    state_dict: Mapping[str, "np.ndarray"],
+    depth: int = 50,
+    num_encoder_layers: int = 4,
+    flip_input_channels: bool = True,
+) -> Tuple[Dict, Dict]:
+    """Reference `BEVFormerOcc` checkpoint (tools/train.py work-dir .pth,
+    key layout of the mmdet3d plugin modules) -> (params, batch_stats) trees
+    for `OccupancyDetector` (gather/exact mode).
+
+    Covered modules and their sources:
+    - img_backbone                  -> backbone (torchvision ResNet layout)
+    - img_neck (mmdet FPN)          -> neck lateral_{i}/fpn_{i}/fpn_extra_{i}
+    - pts_bbox_head.bev_embedding   -> head/bev_embedding
+    - positional_encoding           -> head/positional_encoding (row/col)
+    - transformer.{level,cams}_embeds
+    - encoder.layers.{i}: attentions.0 (TSA), attentions.1 (SCA +
+      deformable_attention), ffns.0 (fc1/fc2), norms.{0,1,2} -> norm{1,2,3}
+    - transformer.decoder.{0,1} Conv3d+BN3d -> decoder{0,1} (+batch_stats)
+    - transformer.predicter / flow_predicter -> fc1/fc2 MLP heads
+
+    Tensor layout conventions are identical on both sides (offsets reshape
+    (B,Q,H,[nq,]L,P,2), attention softmax over the trailing L*P), so Linear
+    weights convert by transpose alone.
+    """
+    sd = {k.replace("module.", ""): v for k, v in state_dict.items()}
+    bb = {k[len("img_backbone."):]: v for k, v in sd.items()
+          if k.startswith("img_backbone.")}
+    params, stats = convert_torchvision_resnet(
+        bb, depth=depth, flip_input_channels=flip_input_channels)
+    params = {"backbone": params}
+    stats = {"backbone": stats}
+
+    # FPN neck: lateral_convs/fpn_convs (extra levels live in fpn_convs[n:])
+    neck: Dict = {}
+    n_lat = len({k.split(".")[2] for k in sd
+                 if k.startswith("img_neck.lateral_convs.")})
+    for i in range(n_lat):
+        neck[f"lateral_{i}"] = _conv2d(sd, f"img_neck.lateral_convs.{i}.conv")
+    n_fpn = len({k.split(".")[2] for k in sd
+                 if k.startswith("img_neck.fpn_convs.")})
+    for i in range(n_fpn):
+        dst = f"fpn_{i}" if i < n_lat else f"fpn_extra_{i - n_lat}"
+        neck[dst] = _conv2d(sd, f"img_neck.fpn_convs.{i}.conv")
+    params["neck"] = neck
+
+    R = "pts_bbox_head"
+    T = f"{R}.transformer"
+    head: Dict = {"bev_embedding": _to_np(sd[f"{R}.bev_embedding.weight"])}
+    head["positional_encoding"] = {
+        "row_embed": _to_np(sd[f"{R}.positional_encoding.row_embed.weight"]),
+        "col_embed": _to_np(sd[f"{R}.positional_encoding.col_embed.weight"]),
+    }
+    trans: Dict = {
+        "level_embeds": _to_np(sd[f"{T}.level_embeds"]),
+        "cams_embeds": _to_np(sd[f"{T}.cams_embeds"]),
+    }
+    enc: Dict = {}
+    for i in range(num_encoder_layers):
+        E = f"{T}.encoder.layers.{i}"
+        layer = {
+            "self_attn": {
+                name: _lin(sd, f"{E}.attentions.0.{name}")
+                for name in ("sampling_offsets", "attention_weights",
+                             "value_proj", "output_proj")},
+            "cross_attn": {
+                "deformable_attention": {
+                    name: _lin(sd,
+                               f"{E}.attentions.1.deformable_attention."
+                               f"{name}")
+                    for name in ("sampling_offsets", "attention_weights",
+                                 "value_proj")},
+                "output_proj": _lin(sd, f"{E}.attentions.1.output_proj"),
+            },
+            "ffn": {"fc1": _lin(sd, f"{E}.ffns.0.layers.0.0"),
+                    "fc2": _lin(sd, f"{E}.ffns.0.layers.1")},
+        }
+        for j in range(3):
+            layer[f"norm{j + 1}"] = _ln(sd, f"{E}.norms.{j}")
+        enc[f"layer{i}"] = layer
+    trans["encoder"] = enc
+
+    trans_stats: Dict = {}
+    for j in (0, 1):
+        trans[f"decoder{j}"] = {
+            "conv": {"kernel": _conv3d(sd[f"{T}.decoder.{j}.conv.weight"])},
+            "bn": {"scale": _to_np(sd[f"{T}.decoder.{j}.bn.weight"]),
+                   "bias": _to_np(sd[f"{T}.decoder.{j}.bn.bias"])},
+        }
+        trans_stats[f"decoder{j}"] = {
+            "bn": {"mean": _to_np(sd[f"{T}.decoder.{j}.bn.running_mean"]),
+                   "var": _to_np(sd[f"{T}.decoder.{j}.bn.running_var"])},
+        }
+    for name in ("predicter", "flow_predicter"):
+        trans[name] = {"fc1": _lin(sd, f"{T}.{name}.0"),
+                       "fc2": _lin(sd, f"{T}.{name}.2")}
+    head["transformer"] = trans
+    params["head"] = head
+    stats["head"] = {"transformer": trans_stats}
+    return params, stats
+
+
+def load_bevformer_into_variables(variables: Dict, state_dict: Mapping,
+                                  depth: int = 50,
+                                  num_encoder_layers: int = 4,
+                                  flip_input_channels: bool = True) -> Dict:
+    """New variables dict with params/batch_stats replaced by a converted
+    full reference checkpoint (shape-checked subtree merge; modules absent
+    from the checkpoint — e.g. dense-mode extras — keep their init)."""
+    import jax
+
+    params, stats = convert_bevformer_occ_checkpoint(
+        state_dict, depth=depth, num_encoder_layers=num_encoder_layers,
+        flip_input_channels=flip_input_channels)
+
+    def merge(dst, src, path=""):
+        out = dict(dst)
+        for k, v in src.items():
+            if k not in dst:
+                raise KeyError(f"unexpected converted key {path}/{k}")
+            if isinstance(v, Mapping) and not isinstance(v, np.ndarray):
+                out[k] = merge(dst[k], v, f"{path}/{k}")
+            else:
+                want, got = np.shape(dst[k]), np.shape(v)
+                if want != got:
+                    raise ValueError(
+                        f"shape mismatch at {path}/{k}: {want} vs {got}")
+                out[k] = jax.numpy.asarray(v, dst[k].dtype)
+        return out
+
+    new_vars = dict(variables)
+    new_vars["params"] = merge(new_vars["params"], params, "params")
+    if new_vars.get("batch_stats"):
+        new_vars["batch_stats"] = merge(new_vars["batch_stats"], stats,
+                                        "batch_stats")
     return new_vars

@@ -22,6 +22,10 @@ def parse_args():
     p = argparse.ArgumentParser(description="occnet_tpu eval")
     p.add_argument("--config", default="base_occ")
     p.add_argument("--work-dir", default=None)
+    p.add_argument("--torch-checkpoint", default=None,
+                   help="reference BEVFormerOcc .pth to convert and evaluate "
+                        "(weight-compat parity path; use with "
+                        "--config base_occ)")
     p.add_argument("--checkpoint", default=None,
                    help="checkpoint dir (defaults to <work-dir>/ckpts)")
     p.add_argument("--eval", action="store_true")
@@ -64,13 +68,29 @@ def main():
     sample = dataset.collate([dataset.get_sample(0)])
     batch = {k: jnp.asarray(v) for k, v in sample.items() if k != "tokens"}
     model, state = create_train_state(cfg, jax.random.PRNGKey(0), batch)
-    ckpt_dir = args.checkpoint or os.path.join(work_dir, "ckpts")
-    mngr = CheckpointManager(ckpt_dir)
-    if mngr.latest_step() is not None:
-        state = mngr.restore(state)
-        print(f"loaded checkpoint step {int(state.step)}")
+    if args.torch_checkpoint:
+        import torch
+        from occnet_tpu.utils.torch_convert import (
+            load_bevformer_into_variables)
+        sd = torch.load(args.torch_checkpoint, map_location="cpu",
+                        weights_only=True)
+        sd = sd.get("state_dict", sd)
+        depth = int(cfg.model.backbone.type.replace("resnet", ""))
+        new_vars = load_bevformer_into_variables(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            sd, depth=depth,
+            num_encoder_layers=cfg.model.encoder.num_layers)
+        state = state.replace(params=new_vars["params"],
+                              batch_stats=new_vars["batch_stats"])
+        print(f"loaded reference torch checkpoint {args.torch_checkpoint}")
     else:
-        print("WARNING: no checkpoint found — evaluating random init")
+        ckpt_dir = args.checkpoint or os.path.join(work_dir, "ckpts")
+        mngr = CheckpointManager(ckpt_dir)
+        if mngr.latest_step() is not None:
+            state = mngr.restore(state)
+            print(f"loaded checkpoint step {int(state.step)}")
+        else:
+            print("WARNING: no checkpoint found — evaluating random init")
 
     infer = jax.jit(lambda p, bs, i, e: model.apply(
         {"params": p, "batch_stats": bs}, i, e))
