@@ -128,10 +128,19 @@ class TransformerOcc(nn.Module):
             # camera feature maps, then the gather-free planar lift.  The
             # projection commutes with the (channel-linear) warp, so applying
             # it pre-lift is exact and ~40x cheaper than post-lift.
-            from occnet_tpu.ops.planar_lift import lift_and_average
+            impl = c.encoder.lift_impl
+            if impl == "auto":
+                impl = ("pallas" if jax.default_backend() == "tpu"
+                        else "einsum")
+            if impl == "pallas":
+                from occnet_tpu.ops.lift_pallas import (
+                    lift_and_average_pallas as lift_fn)
+            else:
+                from occnet_tpu.ops.planar_lift import (
+                    lift_and_average as lift_fn)
             feats = [self.shared_value_proj(f) for f in self.flat_embed(
                 mlvl_feats)]
-            value, _count = lift_and_average(
+            value, _count = lift_fn(
                 feats, ego2img, c.pc_range, c.encoder.num_points_in_pillar,
                 (c.bev_h, c.bev_w), (c.img_h, c.img_w),
                 out_dtype=self.dtype)
