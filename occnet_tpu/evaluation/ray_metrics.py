@@ -242,12 +242,23 @@ class RayMetricAccumulator:
         self.num_samples = 0
 
     def update(self, pred: Dict[str, jax.Array], gt: Dict[str, jax.Array]):
-        c = jax.device_get(_count_sample(pred, gt))
-        self.gt_cnt += c["gt_cnt"].astype(np.int64)
-        self.pred_cnt += c["pred_cnt"].astype(np.int64)
-        self.tp_cnt += c["tp_cnt"].astype(np.int64)
-        self.ave_sum += c["ave_sum"]
-        self.ave_cnt += c["ave_cnt"].astype(np.int64)
+        self.update_counts(jax.device_get(_count_sample(pred, gt)))
+
+    def count_async(self, pred: Dict[str, jax.Array],
+                    gt: Dict[str, jax.Array]):
+        """Dispatch the per-sample count reduction and return the (tiny)
+        device arrays WITHOUT fetching — lets an eval loop queue many
+        samples ahead and fetch in bulk (`update_counts`), so the ~30 ms
+        per-dispatch round-trip overlaps the next sample's compute."""
+        return _count_sample(pred, gt)
+
+    def update_counts(self, c: Dict[str, np.ndarray]):
+        c = jax.device_get(c)
+        self.gt_cnt += np.asarray(c["gt_cnt"], np.int64)
+        self.pred_cnt += np.asarray(c["pred_cnt"], np.int64)
+        self.tp_cnt += np.asarray(c["tp_cnt"], np.int64)
+        self.ave_sum += np.asarray(c["ave_sum"], np.float64)
+        self.ave_cnt += np.asarray(c["ave_cnt"], np.int64)
         self.num_samples += 1
 
     def finalize(self) -> Dict[str, np.ndarray]:

@@ -34,6 +34,8 @@ def run_evaluation(
                                                 pad_origins)
     from occnet_tpu.models.head import get_occ
 
+    from concurrent.futures import ThreadPoolExecutor
+
     n = len(dataset) if max_samples is None else min(len(dataset),
                                                      max_samples)
     infer = jax.jit(lambda p, bs, i, e: model.apply(
@@ -42,20 +44,42 @@ def run_evaluation(
     rays = jnp.asarray(generate_lidar_rays())
     acc = RayMetricAccumulator()
     t0 = time.time()
-    for i in range(n):
-        s = dataset.get_sample(i)
-        outs = infer(params, batch_stats, jnp.asarray(s["img"][None]),
-                     jnp.asarray(s["ego2img"][None]))
-        occ_cls, flow = get_occ(outs)
-        padded, valid = pad_origins(origins_by_token[s["token"]],
-                                    cfg.eval.max_origins)
-        pred, gt = render_pred_gt(
-            occ_cls[0].astype(jnp.int32), flow[0].astype(jnp.float32),
-            jnp.asarray(s["voxel_semantics"]), jnp.asarray(s["voxel_flow"]),
-            rays, jnp.asarray(padded), jnp.asarray(valid))
-        acc.update(pred, gt)
-        if (i + 1) % 100 == 0:
-            log(f"eval {i + 1}/{n}  {(time.time() - t0) / (i + 1):.2f}s/frame")
+    # Pipelined loop: sample loading runs on a prefetch thread, and the
+    # per-sample metric counters stay on device (fetched in bulk every
+    # `flush` samples) — the reference's per-sample python loop
+    # (`apis/test.py:74-77` + `ray_metrics.py:89-143`) serialises H2D,
+    # kernel, and D2H per frame; here they overlap.
+    flush = 32
+    pending = []
+
+    def flush_pending():
+        for c in jax.device_get(pending):
+            acc.update_counts(c)
+        pending.clear()
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        depth = min(4, n)
+        futures = [pool.submit(dataset.get_sample, i) for i in range(depth)]
+        for i in range(n):
+            s = futures.pop(0).result()
+            if i + depth < n:
+                futures.append(pool.submit(dataset.get_sample, i + depth))
+            outs = infer(params, batch_stats, jnp.asarray(s["img"][None]),
+                         jnp.asarray(s["ego2img"][None]))
+            occ_cls, flow = get_occ(outs)
+            padded, valid = pad_origins(origins_by_token[s["token"]],
+                                        cfg.eval.max_origins)
+            pred, gt = render_pred_gt(
+                occ_cls[0].astype(jnp.int32), flow[0].astype(jnp.float32),
+                jnp.asarray(s["voxel_semantics"]),
+                jnp.asarray(s["voxel_flow"]),
+                rays, jnp.asarray(padded), jnp.asarray(valid))
+            pending.append(acc.count_async(pred, gt))
+            if len(pending) >= flush:
+                flush_pending()
+                log(f"eval {i + 1}/{n}  "
+                    f"{(time.time() - t0) / (i + 1):.2f}s/frame")
+        flush_pending()
     scores = occ_score_from_metrics(acc.finalize())
     log(f"eval done ({n} frames): {scores}")
     return scores

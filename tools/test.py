@@ -95,32 +95,52 @@ def main():
     infer = jax.jit(lambda p, bs, i, e: model.apply(
         {"params": p, "batch_stats": bs}, i, e))
 
+    from concurrent.futures import ThreadPoolExecutor
+
     origins_by_token = dict(extract_ego_origins(dataset.infos[:n]))
     rays = jnp.asarray(generate_lidar_rays())
     acc = RayMetricAccumulator()
     sub_samples = []
+    pending = []
     t0 = time.time()
-    for i in range(n):
-        s = dataset.get_sample(i)
-        outs = infer(state.params, state.batch_stats,
-                     jnp.asarray(s["img"][None]),
-                     jnp.asarray(s["ego2img"][None]))
-        occ_cls, flow = get_occ(outs)
-        sem_pred = np.asarray(occ_cls[0], np.int32)
-        flow_pred = np.asarray(flow[0], np.float32)
-        origins = origins_by_token[s["token"]]
-        if args.format_only:
-            sub_samples.append((s["token"], sem_pred, flow_pred, origins))
-        if args.eval:
-            padded, valid = pad_origins(origins, cfg.eval.max_origins)
-            pred, gt = render_pred_gt(
-                jnp.asarray(sem_pred), jnp.asarray(flow_pred),
-                jnp.asarray(s["voxel_semantics"]),
-                jnp.asarray(s["voxel_flow"]), rays,
-                jnp.asarray(padded), jnp.asarray(valid))
-            acc.update(pred, gt)
-        if (i + 1) % 50 == 0:
-            print(f"{i + 1}/{n}  {(time.time() - t0) / (i + 1):.2f}s/frame")
+    # Pipelined like training/eval_loop.py: prefetch sample loading on a
+    # thread, keep the metric counters on device and fetch in bulk — in
+    # pure-eval mode nothing syncs per frame.
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        depth = min(4, n)
+        futures = [pool.submit(dataset.get_sample, i) for i in range(depth)]
+        for i in range(n):
+            s = futures.pop(0).result()
+            if i + depth < n:
+                futures.append(pool.submit(dataset.get_sample, i + depth))
+            outs = infer(state.params, state.batch_stats,
+                         jnp.asarray(s["img"][None]),
+                         jnp.asarray(s["ego2img"][None]))
+            occ_cls, flow = get_occ(outs)
+            origins = origins_by_token[s["token"]]
+            if args.format_only:
+                sub_samples.append((s["token"],
+                                    np.asarray(occ_cls[0], np.int32),
+                                    np.asarray(flow[0], np.float32),
+                                    origins))
+            if args.eval:
+                padded, valid = pad_origins(origins, cfg.eval.max_origins)
+                pred, gt = render_pred_gt(
+                    occ_cls[0].astype(jnp.int32), flow[0].astype(jnp.float32),
+                    jnp.asarray(s["voxel_semantics"]),
+                    jnp.asarray(s["voxel_flow"]), rays,
+                    jnp.asarray(padded), jnp.asarray(valid))
+                pending.append(acc.count_async(pred, gt))
+                if len(pending) >= 32:
+                    for c in jax.device_get(pending):
+                        acc.update_counts(c)
+                    pending.clear()
+            if (i + 1) % 50 == 0:
+                print(f"{i + 1}/{n}  "
+                      f"{(time.time() - t0) / (i + 1):.2f}s/frame")
+    for c in jax.device_get(pending):
+        acc.update_counts(c)
+    pending.clear()
 
     if args.eval:
         metrics = acc.finalize()
