@@ -164,6 +164,9 @@ class DataConfig:
     to_rgb: bool = False
     workers: int = 4
     shuffle: bool = True
+    # GT grid (X, Y, Z) used for the zero-label fallback when a sample has
+    # no labels.npz (test split, `pipelines/loading.py:21-33`).
+    occ_size: Tuple[int, int, int] = (200, 200, 16)
 
 
 @dataclass(frozen=True)
@@ -219,7 +222,8 @@ def tiny_occ() -> OccNetConfig:
             cfg.model.encoder, num_layers=2, ffn_dim=256,
             num_points_in_pillar=4),
     )
-    return dataclasses.replace(cfg, model=model)
+    data = dataclasses.replace(cfg.data, occ_size=(50, 50, 8))
+    return dataclasses.replace(cfg, model=model, data=data)
 
 
 def turbo_occ() -> OccNetConfig:

@@ -130,7 +130,14 @@ class NuSceneOccDataset:
         imgs = normalize_img(imgs, mean, std)
         imgs = pad_to_divisor(imgs, self.size_divisor)
 
-        sem, flow = load_occ_gt(info.get("occ_path"))
+        # occ_path in infos is data_root-relative (the reference joins
+        # `data_root` at `nuscenes_occ.py:165`); missing file (test split)
+        # -> zero labels at the configured grid size
+        occ_path = info.get("occ_path")
+        if occ_path and not os.path.isabs(occ_path):
+            joined = os.path.join(self.cfg.data_root, occ_path)
+            occ_path = joined if os.path.exists(joined) else occ_path
+        sem, flow = load_occ_gt(occ_path, occ_size=tuple(self.cfg.occ_size))
         ego2img = np.einsum(
             "cij,jk->cik", geo["lidar2img"], geo["ego2lidar"])
 

@@ -138,10 +138,16 @@ def render_sample_fast(
     return {"dist": dist, "label": label, "flow": fl, "valid": valid}
 
 
+@functools.partial(jax.jit, static_argnames=("num_az",))
 def _render_grids(sems, flows, rays, origins, origin_valid, num_az):
     """Loop-free render of G grids x T origins (`ops/ray_march_vec.py`): all
     (grid, origin, azimuth) marches batch into one gather instead of ~420
-    dependent tiny steps.  Returns dict of (G, T, R) arrays, R pitch-major."""
+    dependent tiny steps.  Returns dict of (G, T, R) arrays, R pitch-major.
+
+    This is the single jit boundary for both `render_pred_gt` (G=2) and
+    `render_sample_vec` (G=1) — two sibling jit wrappers over the same body
+    occasionally cross-dispatched each other's executables on the CPU
+    backend (buffer-count mismatch), so the callers stay un-jitted."""
     from occnet_tpu.ops.ray_march_vec import dda_raymarch_fan_vec
 
     occs = (sems != FREE_ID)
@@ -165,7 +171,6 @@ def _render_grids(sems, flows, rays, origins, origin_valid, num_az):
     return {"dist": dist, "label": label, "flow": fl, "valid": valid}
 
 
-@functools.partial(jax.jit, static_argnames=("num_az",))
 def render_pred_gt(
     sem_pred: jax.Array, flow_pred: jax.Array,
     sem_gt: jax.Array, flow_gt: jax.Array,
@@ -181,14 +186,13 @@ def render_pred_gt(
     return pred, gt
 
 
-@functools.partial(jax.jit, static_argnames=("num_az",))
 def render_sample_vec(
     sem: jax.Array, flow: jax.Array, rays: jax.Array, origins: jax.Array,
     origin_valid: jax.Array, num_az: int = 360,
 ):
     """`render_sample_fast` contract on the loop-free marcher."""
-    outs = _render_grids(sem[None], flow[None], rays, origins, origin_valid,
-                         num_az)
+    outs = _render_grids(jnp.asarray(sem)[None], jnp.asarray(flow)[None],
+                         rays, origins, origin_valid, num_az)
     return {k: v[0] for k, v in outs.items()}
 
 

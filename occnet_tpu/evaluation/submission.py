@@ -70,6 +70,26 @@ def load_submission(path: str) -> dict:
         return pickle.load(f)
 
 
+def merge_submissions(part_paths: Iterable[str], out_path: str) -> int:
+    """Merge per-process partial submissions (multi-host `--format-only`,
+    the analogue of the reference's 8-GPU submission generation + rank-0
+    collection, `apis/test.py:89-133`) into one file.  Later parts win on
+    duplicate tokens (shard padding repeats boundary samples).  Returns the
+    merged sample count."""
+    merged: Dict[str, dict] = {}
+    meta = None
+    for p in part_paths:
+        payload = load_submission(p)
+        if meta is None:
+            meta = {k: v for k, v in payload.items() if k != "results"}
+        merged.update(payload["results"])
+    payload = dict(meta or {})
+    payload["results"] = merged
+    with gzip.open(out_path, "wb", compresslevel=9) as f:
+        pickle.dump(payload, f, protocol=pickle.HIGHEST_PROTOCOL)
+    return len(merged)
+
+
 def score_submissions(pred_path: str, gt_path: str) -> dict:
     """Offline scorer (`tools/ray_iou/metric.py:83-142`): pred vs GT
     submission gz files -> metric dict."""

@@ -53,6 +53,7 @@ bilinear taps (align_corners=False, zero padding).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Sequence, Tuple
 
 import jax
@@ -62,8 +63,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 from occnet_tpu.ops.planar_lift import _band_limit, plane_homographies
 
-_NB = 8          # image columns per pass-1 program
-_ZRB = 128       # zr rows per pass-1 program
+# block sizes (env-overridable for tuning sweeps; defaults are the measured
+# best at base scale)
+_NB = int(os.environ.get("OCCNET_LIFT_NB", "8"))    # pass-1 image columns
+_ZRB = int(os.environ.get("OCCNET_LIFT_ZRB", "128"))  # pass-1 zr rows
 
 
 def _interpret() -> bool:

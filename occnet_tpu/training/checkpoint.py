@@ -34,7 +34,10 @@ class CheckpointManager:
         )
 
     def save(self, step: int, state: TrainState,
-             cfg: Optional[OccNetConfig] = None):
+             cfg: Optional[OccNetConfig] = None, block: bool = False):
+        """Checkpoint asynchronously (orbax writes on background threads
+        while training continues — the periodic-async-checkpoint design the
+        reference lacks); pass block=True or call `wait` for a barrier."""
         payload = {
             "params": state.params,
             "batch_stats": state.batch_stats,
@@ -47,6 +50,11 @@ class CheckpointManager:
                if cfg else {}),
         )
         self.mngr.save(step, args=args)
+        if block:
+            self.mngr.wait_until_finished()
+
+    def wait(self):
+        """Block until all in-flight async saves are durable."""
         self.mngr.wait_until_finished()
 
     def restore(self, state: TrainState,

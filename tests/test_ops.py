@@ -93,3 +93,30 @@ def test_submission_roundtrip_gt_scores_one(tmp_path):
     scores = score_submissions(path, path)
     assert scores["RayIoU"] == 1.0
     assert abs(scores["OccScore"] - 1.0) < 1e-9
+
+
+def test_merge_submissions(tmp_path):
+    """Multi-process --format-only: per-shard partials merge into one file
+    equal to a single-process write (later parts win on padded dupes)."""
+    from occnet_tpu.evaluation.submission import (
+        load_submission, merge_submissions, write_submission)
+    rng = np.random.RandomState(1)
+
+    def sample(tok):
+        sem = np.full((200, 200, 16), 16, np.int32)
+        sem[90:110, 90:110, 2:9] = rng.randint(0, 16, (20, 20, 7))
+        flow = rng.randn(200, 200, 16, 2).astype(np.float32)
+        origins = np.array([[0.0, 0.0, 1.8]], np.float32)
+        return (tok, sem, flow, origins)
+
+    s0, s1, s2 = sample("tokA"), sample("tokB"), sample("tokC")
+    p0 = str(tmp_path / "sub.gz.part0")
+    p1 = str(tmp_path / "sub.gz.part1")
+    write_submission(p0, [s0, s1])
+    write_submission(p1, [s1, s2])          # shard-padding duplicate tokB
+    out = str(tmp_path / "sub.gz")
+    cnt = merge_submissions([p0, p1], out)
+    assert cnt == 3
+    merged = load_submission(out)
+    assert set(merged["results"]) == {"tokA", "tokB", "tokC"}
+    assert "method" in merged

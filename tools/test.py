@@ -32,6 +32,11 @@ def parse_args():
     p.add_argument("--format-only", action="store_true")
     p.add_argument("--out", default="submission.gz")
     p.add_argument("--max-samples", type=int, default=None)
+    p.add_argument("--distributed", action="store_true",
+                   help="multi-host eval/submission: each process evaluates "
+                        "a contiguous shard of the val split (the "
+                        "reference's 8-GPU dist_test.sh), metric counters "
+                        "are all-gathered, rank 0 reports/merges")
     p.add_argument("--set", nargs="*", default=[], metavar="KEY=VAL")
     return p.parse_args()
 
@@ -53,6 +58,13 @@ def main():
     from occnet_tpu.training import create_train_state
     from occnet_tpu.training.checkpoint import CheckpointManager
 
+    from occnet_tpu import parallel
+    from occnet_tpu.data.sampler import contiguous_shard_indices
+
+    if args.distributed:
+        parallel.initialize()
+    proc, n_proc = parallel.process_shard()
+
     cfg = get_config(args.config)
     overrides = dict(kv.split("=", 1) for kv in args.set)
     if overrides:
@@ -63,7 +75,13 @@ def main():
     dataset = NuSceneOccDataset(cfg.data, ann, training=False)
     n = len(dataset) if args.max_samples is None else min(
         len(dataset), args.max_samples)
-    print(f"val set: {n} frames")
+    # contiguous per-process shard, preserving the reference's eval-order
+    # guarantee (`datasets/samplers/distributed_sampler.py:36-38`)
+    shard = contiguous_shard_indices(n, n_proc, proc)
+    if proc == 0:
+        print(f"val set: {n} frames"
+              + (f" ({n_proc} processes x {len(shard)})" if n_proc > 1
+                 else ""))
 
     sample = dataset.collate([dataset.get_sample(0)])
     batch = {k: jnp.asarray(v) for k, v in sample.items() if k != "tokens"}
@@ -107,12 +125,15 @@ def main():
     # thread, keep the metric counters on device and fetch in bulk — in
     # pure-eval mode nothing syncs per frame.
     with ThreadPoolExecutor(max_workers=2) as pool:
-        depth = min(4, n)
-        futures = [pool.submit(dataset.get_sample, i) for i in range(depth)]
-        for i in range(n):
+        m = len(shard)
+        depth = min(4, m)
+        futures = [pool.submit(dataset.get_sample, int(shard[i]))
+                   for i in range(depth)]
+        for i in range(m):
             s = futures.pop(0).result()
-            if i + depth < n:
-                futures.append(pool.submit(dataset.get_sample, i + depth))
+            if i + depth < m:
+                futures.append(
+                    pool.submit(dataset.get_sample, int(shard[i + depth])))
             outs = infer(state.params, state.batch_stats,
                          jnp.asarray(s["img"][None]),
                          jnp.asarray(s["ego2img"][None]))
@@ -135,23 +156,45 @@ def main():
                     for c in jax.device_get(pending):
                         acc.update_counts(c)
                     pending.clear()
-            if (i + 1) % 50 == 0:
-                print(f"{i + 1}/{n}  "
+            if (i + 1) % 50 == 0 and proc == 0:
+                print(f"{i + 1}/{m}  "
                       f"{(time.time() - t0) / (i + 1):.2f}s/frame")
     for c in jax.device_get(pending):
         acc.update_counts(c)
     pending.clear()
 
     if args.eval:
-        metrics = acc.finalize()
-        print(format_metrics_table(metrics))
-        scores = occ_score_from_metrics(metrics)
-        print(json.dumps(scores, indent=2))
-        with open(os.path.join(work_dir, "eval_results.json"), "w") as f:
-            json.dump(scores, f)
+        if n_proc > 1:
+            # all-reduce the count arrays across processes (replaces the
+            # reference's tmpdir-pickle CPU gather, apis/test.py:89-133)
+            g = parallel.allgather_host({
+                "gt_cnt": acc.gt_cnt, "pred_cnt": acc.pred_cnt,
+                "tp_cnt": acc.tp_cnt, "ave_sum": acc.ave_sum,
+                "ave_cnt": acc.ave_cnt})
+            for k, v in g.items():
+                setattr(acc, k, v.sum(axis=0))
+        if proc == 0:
+            metrics = acc.finalize()
+            print(format_metrics_table(metrics))
+            scores = occ_score_from_metrics(metrics)
+            print(json.dumps(scores, indent=2))
+            with open(os.path.join(work_dir, "eval_results.json"), "w") as f:
+                json.dump(scores, f)
     if args.format_only:
-        write_submission(args.out, sub_samples)
-        print(f"wrote {args.out}")
+        if n_proc == 1:
+            write_submission(args.out, sub_samples)
+            print(f"wrote {args.out}")
+        else:
+            from occnet_tpu.evaluation.submission import merge_submissions
+            part = f"{args.out}.part{proc}"
+            write_submission(part, sub_samples)
+            parallel.barrier("submission_parts")
+            if proc == 0:
+                parts = [f"{args.out}.part{r}" for r in range(n_proc)]
+                cnt = merge_submissions(parts, args.out)
+                for p in parts:
+                    os.remove(p)
+                print(f"wrote {args.out} ({cnt} samples)")
 
 
 if __name__ == "__main__":

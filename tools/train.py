@@ -200,6 +200,8 @@ def main():
                      m["loss_flow"], m["grad_norm"], m["lr"], dt)
         if (step + 1) % (epoch_len * args.ckpt_interval_epochs) == 0 or \
                 step == total_steps - 1:
+            # async: orbax writes on background threads; the final-step save
+            # is made durable by the `ckpt.wait()` below before exit
             ckpt.save(step + 1, state, cfg)
             log.info("checkpoint @ step %d", step + 1)
         if (args.eval_interval_epochs and dataset is not None
@@ -211,6 +213,7 @@ def main():
                 training=False)
             run_evaluation(cfg, model, state.params, state.batch_stats, val,
                            log=log.info)
+    ckpt.wait()
     log.info("done: %d steps", total_steps - step0)
 
 
