@@ -74,8 +74,12 @@ class SCAConfig:
     dropout: float = 0.1
     # Static top-k visible queries kept per camera (TPU replacement for the
     # reference's dynamic per-camera rebatching, spatial_cross_attention.py
-    # :137-153).  0 => dense (all queries for all cameras, masked).
-    max_queries_per_cam: int = 0
+    # :137-153).  0 => dense (all queries for all cameras, masked).  The
+    # default keeps 16384 of the 40000 base-grid queries per camera — a 70°
+    # camera sees ~10-11k queries of the 80 m grid, so the compaction is
+    # exact with wide margin; the `sca_topk_overflow` intermediate is 0
+    # whenever exactness held for a batch.
+    max_queries_per_cam: int = 16384
 
 
 @dataclass(frozen=True)

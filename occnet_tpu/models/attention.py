@@ -169,7 +169,13 @@ class SpatialCrossAttention(nn.Module):
             # Static top-K compaction: the TPU analogue of the reference's
             # dynamic per-camera rebatch (:137-167).  Exact whenever K >= the
             # max per-camera visible-query count (selected set then covers
-            # the visible set; extra slots are masked out below).
+            # the visible set; extra slots are masked out below).  The
+            # `sca_topk_overflow` intermediate counts visible queries that
+            # did NOT fit — 0 certifies the compaction was exact for this
+            # batch (the runtime check replacing an unjittable assert).
+            n_visible = visible.sum(axis=2)               # (B, n_cam)
+            self.sow("intermediates", "sca_topk_overflow",
+                     jnp.maximum(n_visible - K, 0).max())
             scores = jnp.transpose(vis_cnt, (1, 0, 2)).astype(jnp.int32)
             _, sel = jax.lax.top_k(scores, K)             # (B, n_cam, K)
             q_sel = jnp.take_along_axis(
