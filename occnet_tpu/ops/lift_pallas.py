@@ -99,12 +99,29 @@ def _hat_t(pos_row: jax.Array, K: int, k0: float = 0.0) -> jax.Array:
 
 def _pass1_kernel(pos_ref, feat_ref, out_ref):
     # pos (1, nb, 1, zrb); feat (1, nb, K, C); out (zrb, 1, nb, C)
+    #
+    # Block-level predication: a block whose positions are all -2 (masked —
+    # out of band, wrong pass order for every zr row, or camera-invisible
+    # row) contributes exactly zero, so all its dots are skipped and zeros
+    # written instead.  At base scale ~50% of pass-1 blocks are dead, and
+    # block-dead ~= column-dead (the masks are row/column-structured), so
+    # block granularity loses almost nothing while keeping the unrolled
+    # dots branch-free (per-column @pl.when serialised the MXU pipeline
+    # and measured SLOWER than no predication at all).
     K = feat_ref.shape[2]
-    for j in range(feat_ref.shape[1]):
-        wt = _hat_t(pos_ref[0, j], K)              # (K, zrb)
-        out_ref[:, 0, j, :] = jax.lax.dot_general(
-            wt, feat_ref[0, j], (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(out_ref.dtype)
+    live = jnp.max(pos_ref[0]) > -2.0
+
+    @pl.when(live)
+    def _():
+        for j in range(feat_ref.shape[1]):
+            wt = _hat_t(pos_ref[0, j], K)          # (K, zrb)
+            out_ref[:, 0, j, :] = jax.lax.dot_general(
+                wt, feat_ref[0, j], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(out_ref.dtype)
+
+    @pl.when(~live)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
 
 
 def _pass1(pos, feat_kc):
@@ -142,11 +159,15 @@ def _pass1_bwd_kernel(pos_ref, g_ref, out_ref):
     def _():
         out_ref[...] = jnp.zeros_like(out_ref)
 
-    for j in range(out_ref.shape[1]):
-        wt = _hat_t(pos_ref[0, j], K)              # (K, zrb)
-        out_ref[0, j] += jnp.dot(
-            wt, g_ref[:, 0, j, :].astype(jnp.bfloat16),
-            preferred_element_type=jnp.float32).astype(out_ref.dtype)
+    live = jnp.max(pos_ref[0]) > -2.0
+
+    @pl.when(live)
+    def _():
+        for j in range(out_ref.shape[1]):
+            wt = _hat_t(pos_ref[0, j], K)          # (K, zrb)
+            out_ref[0, j] += jnp.dot(
+                wt, g_ref[:, 0, j, :].astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32).astype(out_ref.dtype)
 
 
 def _pass1_bwd(pos, g_tmp, K):
@@ -374,9 +395,18 @@ def _plane_positions(Mz: jax.Array, bev_hw: Tuple[int, int], h: int, w: int,
     b2 = -l2 / safe(l0)
 
     posA = _band_limit(a[None] * xs[:, None, None] + b[None], h)
-    posA = posA.reshape(w, Z * bev_h)
     posB = _band_limit(a2[None] * ygrid[:, None, None] + b2[None], w)
-    posB = posB.reshape(h, Z * bev_h)
+
+    # Row-level kills, exact because pass-2's weights are already zero for
+    # these rows: each (z, row) uses exactly ONE pass order (steepness is a
+    # line property, independent of the BEV column), and rows no query of
+    # which is camera-visible are never read at all.  Killing them here
+    # turns pass-1 columns dead so the kernel predication skips their dots.
+    row_any = valid.any(axis=-1)                            # (Z, bev_h)
+    useA = (~steep & row_any)[None]                         # (1, Z, bev_h)
+    useB = (steep & row_any)[None]
+    posA = jnp.where(useA, posA, -2.0).reshape(w, Z * bev_h)
+    posB = jnp.where(useB, posB, -2.0).reshape(h, Z * bev_h)
 
     sel_a = valid & ~steep[..., None]
     sel_b = valid & steep[..., None]
