@@ -138,16 +138,10 @@ def render_sample_fast(
     return {"dist": dist, "label": label, "flow": fl, "valid": valid}
 
 
-@functools.partial(jax.jit, static_argnames=("num_az",))
-def _render_grids(sems, flows, rays, origins, origin_valid, num_az):
+def _render_grids_impl(sems, flows, rays, origins, origin_valid, num_az):
     """Loop-free render of G grids x T origins (`ops/ray_march_vec.py`): all
     (grid, origin, azimuth) marches batch into one gather instead of ~420
-    dependent tiny steps.  Returns dict of (G, T, R) arrays, R pitch-major.
-
-    This is the single jit boundary for both `render_pred_gt` (G=2) and
-    `render_sample_vec` (G=1) — two sibling jit wrappers over the same body
-    occasionally cross-dispatched each other's executables on the CPU
-    backend (buffer-count mismatch), so the callers stay un-jitted."""
+    dependent tiny steps.  Returns dict of (G, T, R) arrays, R pitch-major."""
     from occnet_tpu.ops.ray_march_vec import dda_raymarch_fan_vec
 
     occs = (sems != FREE_ID)
@@ -169,6 +163,30 @@ def _render_grids(sems, flows, rays, origins, origin_valid, num_az):
         flows, coord)
     valid = jnp.broadcast_to(origin_valid[None, :, None], dist.shape)
     return {"dist": dist, "label": label, "flow": fl, "valid": valid}
+
+
+# Explicit AOT executable cache keyed on shapes/dtypes.  This deliberately
+# bypasses jax.jit's dispatch: on this toolchain (jax 0.9 + the tunnel
+# backend) the jit fast path intermittently routed a call to an executable
+# compiled for a DIFFERENT signature of the same function after many
+# repeated calls ("Execution supplied 5 buffers but compiled program
+# expected 7 buffers") — e.g. a fresh grid shape right after an eval loop.
+# AOT `lower(...).compile()` executables are invoked directly, so the
+# (shape -> executable) mapping is this dict and nothing else.
+_RENDER_EXE: Dict[tuple, "jax.stages.Compiled"] = {}
+
+
+def _render_grids(sems, flows, rays, origins, origin_valid, num_az):
+    key = (sems.shape, str(sems.dtype), flows.shape, str(flows.dtype),
+           rays.shape, origins.shape, origin_valid.shape, int(num_az))
+    exe = _RENDER_EXE.get(key)
+    if exe is None:
+        exe = jax.jit(
+            _render_grids_impl, static_argnames=("num_az",)).lower(
+                sems, flows, rays, origins, origin_valid,
+                num_az=int(num_az)).compile()
+        _RENDER_EXE[key] = exe
+    return exe(sems, flows, rays, origins, origin_valid)
 
 
 def render_pred_gt(

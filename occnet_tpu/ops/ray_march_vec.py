@@ -34,7 +34,10 @@ import jax.numpy as jnp
 
 from occnet_tpu.ops.ray_march_fast import pack_columns
 
-_BIG = jnp.float32(1e30)
+# python float, NOT a jnp array: module-level jax arrays become
+# hoisted const-inputs of compiled programs on jax 0.9, which this
+# toolchain's dispatch can drop (input-count mismatch at call time)
+_BIG = 1e30
 
 
 def _column_walk(origin, az_dirs, X, Y, N):

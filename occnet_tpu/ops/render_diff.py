@@ -40,7 +40,10 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-_BIG = jnp.float32(1e30)
+# python float, NOT a jnp array: module-level jax arrays become
+# hoisted const-inputs of compiled programs on jax 0.9, which this
+# toolchain's dispatch can drop (input-count mismatch at call time)
+_BIG = 1e30
 
 
 def splat_points(points: jax.Array, tindex: Optional[jax.Array],

@@ -100,3 +100,44 @@ def test_test_cli_eval_and_submission(tmp_path, monkeypatch):
     with gzip.open(sub, "rb") as f:
         payload = pickle.load(f)
     assert set(payload["results"]) == {"tok0", "tok1", "tok2"}
+
+
+def test_ray_casting_and_metric_cli(tmp_path, monkeypatch):
+    """Offline codepath: pred .npz dir + infos -> pred/GT pcd .gz ->
+    metric CLI scores; GT-as-pred must score OccScore 1.0."""
+    import importlib.util
+    import json
+
+    root = str(tmp_path / "data")
+    os.makedirs(root, exist_ok=True)
+    ann = _write_miniset(root, 2, (64, 96))
+    # predictions = the GT grids themselves
+    pred_dir = str(tmp_path / "preds")
+    os.makedirs(pred_dir, exist_ok=True)
+    with open(ann, "rb") as f:
+        infos = pickle.load(f)["infos"]
+    for info in infos:
+        gt = np.load(os.path.join(root, info["occ_path"]))
+        np.savez(os.path.join(pred_dir, f"{info['token']}.npz"),
+                 semantics=gt["semantics"], flow=gt["flow"])
+
+    def run(path, argv):
+        spec = importlib.util.spec_from_file_location(
+            "occnet_cli_" + os.path.basename(path)[:-3],
+            os.path.join(REPO, "tools", path))
+        mod = importlib.util.module_from_spec(spec)
+        monkeypatch.setattr(sys, "argv", argv)
+        spec.loader.exec_module(mod)
+        mod.main()
+
+    pred_out = str(tmp_path / "pred.gz")
+    gt_out = str(tmp_path / "gt.gz")
+    run("ray_casting.py",
+        ["ray_casting.py", "--pred-dir", pred_dir, "--infos", ann,
+         "--data-root", root, "--pred-out", pred_out, "--gt-out", gt_out])
+    out_json = str(tmp_path / "scores.json")
+    run("metric.py", ["metric.py", "--pred", pred_out, "--gt", gt_out,
+                      "--out", out_json])
+    with open(out_json) as f:
+        scores = json.load(f)
+    assert abs(scores["OccScore"] - 1.0) < 1e-9, scores
