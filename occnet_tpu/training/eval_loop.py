@@ -15,6 +15,24 @@ from typing import Dict, Optional
 
 import numpy as np
 
+# One jitted inference fn per model instance: a fresh `jax.jit(lambda ...)`
+# per run_evaluation call would retrace and recompile on every eval epoch
+# (minutes through the remote compile helper); keyed by id with the model
+# kept alive alongside so ids cannot be recycled.
+_INFER_CACHE: Dict[int, tuple] = {}
+
+
+def _cached_infer(model):
+    import jax
+
+    entry = _INFER_CACHE.get(id(model))
+    if entry is None or entry[0] is not model:
+        fn = jax.jit(lambda p, bs, i, e: model.apply(
+            {"params": p, "batch_stats": bs}, i, e))
+        _INFER_CACHE[id(model)] = (model, fn)
+        return fn
+    return entry[1]
+
 
 def run_evaluation(
     cfg,
@@ -38,8 +56,7 @@ def run_evaluation(
 
     n = len(dataset) if max_samples is None else min(len(dataset),
                                                      max_samples)
-    infer = jax.jit(lambda p, bs, i, e: model.apply(
-        {"params": p, "batch_stats": bs}, i, e))
+    infer = _cached_infer(model)
     origins_by_token = dict(extract_ego_origins(dataset.infos[:n]))
     rays = jnp.asarray(generate_lidar_rays())
     acc = RayMetricAccumulator()
