@@ -93,10 +93,16 @@ class NuSceneOccDataset:
 
     def __init__(self, cfg: DataConfig, ann_file: str,
                  training: bool = True, load_interval: int = 1,
-                 size_divisor: int = 32):
+                 size_divisor: int = 32, device_normalize: bool = False):
         self.cfg = cfg
         self.training = training
         self.size_divisor = size_divisor
+        # device_normalize: return raw uint8 images (4x less host->device
+        # traffic — 27 vs 107 MB/frame at base scale) and let the caller
+        # normalise on device via `make_device_normalizer(cfg)`.  Exact for
+        # eval; ignored in training (photometric distortion needs host
+        # floats).
+        self.device_normalize = device_normalize and not training
         self.infos, self.metadata = load_infos(ann_file, load_interval)
         self.version = str(self.metadata.get("version", ""))
 
@@ -117,18 +123,23 @@ class NuSceneOccDataset:
                 self.cfg.data_root, p)
             if not os.path.isabs(p) and not os.path.exists(path):
                 path = p  # infos sometimes store data_root-relative paths
-            imgs.append(_decode_image(path).astype(np.float32))
+            decoded = _decode_image(path)
+            imgs.append(decoded if self.device_normalize
+                        else decoded.astype(np.float32))
         imgs = np.stack(imgs)
 
-        if self.training and rng is not None:
-            imgs = photometric_distortion(imgs, rng)
-        # RGB means (the reference's BGR means reversed; see pipeline.py).
-        mean = np.asarray(self.cfg.img_mean, np.float32)
-        std = np.asarray(self.cfg.img_std, np.float32)
-        if not self.cfg.to_rgb:
-            mean, std = mean[::-1].copy(), std[::-1].copy()
-        imgs = normalize_img(imgs, mean, std)
-        imgs = pad_to_divisor(imgs, self.size_divisor)
+        if self.device_normalize:
+            imgs = pad_to_divisor(imgs, self.size_divisor)
+        else:
+            if self.training and rng is not None:
+                imgs = photometric_distortion(imgs, rng)
+            # RGB means (the reference's BGR means reversed; pipeline.py).
+            mean = np.asarray(self.cfg.img_mean, np.float32)
+            std = np.asarray(self.cfg.img_std, np.float32)
+            if not self.cfg.to_rgb:
+                mean, std = mean[::-1].copy(), std[::-1].copy()
+            imgs = normalize_img(imgs, mean, std)
+            imgs = pad_to_divisor(imgs, self.size_divisor)
 
         # occ_path in infos is data_root-relative (the reference joins
         # `data_root` at `nuscenes_occ.py:165`); missing file (test split)

@@ -145,3 +145,24 @@ def random_scale_image(
     scale_mat[0, 0] = scale_mat[1, 1] = s
     new_l2i = np.einsum("ij,njk->nik", scale_mat, lidar2img)
     return out.astype(imgs.dtype), new_l2i
+
+
+def make_device_normalizer(cfg):
+    """On-device counterpart of `normalize_img` for uint8 batches uploaded
+    raw (`NuSceneOccDataset(device_normalize=True)`): 4x less host->device
+    image traffic.  Bitwise-identical to the host path when H/W are already
+    size-divisor aligned (base and tiny scales are); with padding the host
+    path pads zeros AFTER normalising (the reference's order) while this
+    normalises the zero padding, so only use it for aligned shapes."""
+    mean = np.asarray(cfg.img_mean, np.float32)
+    std = np.asarray(cfg.img_std, np.float32)
+    if not cfg.to_rgb:
+        mean, std = mean[::-1].copy(), std[::-1].copy()
+
+    def normalize(imgs):
+        import jax.numpy as jnp
+        if imgs.dtype != jnp.uint8:
+            return imgs                     # already host-normalised
+        return (imgs.astype(jnp.float32) - mean) / std
+
+    return normalize

@@ -22,13 +22,15 @@ import numpy as np
 _INFER_CACHE: Dict[int, tuple] = {}
 
 
-def _cached_infer(model):
+def _cached_infer(model, data_cfg):
     import jax
+    from occnet_tpu.data.pipeline import make_device_normalizer
 
     entry = _INFER_CACHE.get(id(model))
     if entry is None or entry[0] is not model:
+        norm = make_device_normalizer(data_cfg)
         fn = jax.jit(lambda p, bs, i, e: model.apply(
-            {"params": p, "batch_stats": bs}, i, e))
+            {"params": p, "batch_stats": bs}, norm(i), e))
         _INFER_CACHE[id(model)] = (model, fn)
         return fn
     return entry[1]
@@ -56,7 +58,7 @@ def run_evaluation(
 
     n = len(dataset) if max_samples is None else min(len(dataset),
                                                      max_samples)
-    infer = _cached_infer(model)
+    infer = _cached_infer(model, cfg.data)
     origins_by_token = dict(extract_ego_origins(dataset.infos[:n]))
     rays = jnp.asarray(generate_lidar_rays())
     acc = RayMetricAccumulator()

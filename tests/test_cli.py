@@ -82,6 +82,7 @@ def test_test_cli_eval_and_submission(tmp_path, monkeypatch):
     sub = str(tmp_path / "sub.gz")
     work = str(tmp_path / "work")
     argv = ["test.py", "--config", "tiny_occ", "--eval", "--format-only",
+            "--device-normalize",
             "--out", sub, "--work-dir", work, "--max-samples", "3",
             "--set", f"data.data_root={root}", "data.val_ann=infos_val.pkl"]
     monkeypatch.setattr(sys, "argv", argv)

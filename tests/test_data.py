@@ -2,6 +2,8 @@
 guarantees, pipeline transforms, camera-matrix construction on a synthetic
 infos dict, ego-origin extraction."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -162,3 +164,33 @@ def test_prefetch_loader_order_and_determinism(tmp_path):
     ld3 = list(PrefetchLoader(ds, 2, indices, seed=3, epoch=2))
     assert not all(np.array_equal(a["img"], b["img"])
                    for a, b in zip(ld1, ld3))
+
+
+def test_device_normalize_matches_host(tmp_path):
+    """uint8 upload + on-device normalise == host-normalised pipeline (at
+    divisor-aligned image sizes)."""
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from test_cli import _write_miniset
+    import jax
+    import jax.numpy as jnp
+    from occnet_tpu.config import get_config
+    from occnet_tpu.data import NuSceneOccDataset
+    from occnet_tpu.data.pipeline import make_device_normalizer
+
+    cfg = get_config("tiny_occ")
+    root = str(tmp_path / "data")
+    os.makedirs(root, exist_ok=True)
+    m = cfg.model
+    ann = _write_miniset(root, 1, (m.img_h, m.img_w),
+                         grid=(m.bev_w, m.bev_h, m.pillar_h))
+    import dataclasses
+    dcfg = dataclasses.replace(cfg.data, data_root=root)
+    host = NuSceneOccDataset(dcfg, ann, training=False)
+    dev = NuSceneOccDataset(dcfg, ann, training=False, device_normalize=True)
+    s_host = host.get_sample(0)
+    s_dev = dev.get_sample(0)
+    assert s_dev["img"].dtype == np.uint8
+    norm = make_device_normalizer(dcfg)
+    out = np.asarray(jax.jit(norm)(jnp.asarray(s_dev["img"])))
+    np.testing.assert_allclose(out, s_host["img"], atol=1e-4)

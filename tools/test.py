@@ -32,6 +32,10 @@ def parse_args():
     p.add_argument("--format-only", action="store_true")
     p.add_argument("--out", default="submission.gz")
     p.add_argument("--max-samples", type=int, default=None)
+    p.add_argument("--device-normalize", action="store_true",
+                   help="upload raw uint8 images and normalise on device "
+                        "(4x less H2D; exact when H/W are divisor-aligned, "
+                        "as at base scale)")
     p.add_argument("--distributed", action="store_true",
                    help="multi-host eval/submission: each process evaluates "
                         "a contiguous shard of the val split (the "
@@ -72,7 +76,8 @@ def main():
     work_dir = args.work_dir or os.path.join("work_dirs", args.config)
 
     ann = os.path.join(cfg.data.data_root, cfg.data.val_ann)
-    dataset = NuSceneOccDataset(cfg.data, ann, training=False)
+    dataset = NuSceneOccDataset(cfg.data, ann, training=False,
+                                device_normalize=args.device_normalize)
     n = len(dataset) if args.max_samples is None else min(
         len(dataset), args.max_samples)
     # contiguous per-process shard, preserving the reference's eval-order
@@ -85,6 +90,9 @@ def main():
 
     sample = dataset.collate([dataset.get_sample(0)])
     batch = {k: jnp.asarray(v) for k, v in sample.items() if k != "tokens"}
+    if batch["img"].dtype == jnp.uint8:
+        # init wants float inputs; values are irrelevant for shape inference
+        batch["img"] = batch["img"].astype(jnp.float32)
     model, state = create_train_state(cfg, jax.random.PRNGKey(0), batch)
     if args.torch_checkpoint:
         import torch
@@ -110,8 +118,10 @@ def main():
         else:
             print("WARNING: no checkpoint found — evaluating random init")
 
+    from occnet_tpu.data.pipeline import make_device_normalizer
+    _norm = make_device_normalizer(cfg.data)
     infer = jax.jit(lambda p, bs, i, e: model.apply(
-        {"params": p, "batch_stats": bs}, i, e))
+        {"params": p, "batch_stats": bs}, _norm(i), e))
 
     from concurrent.futures import ThreadPoolExecutor
 
