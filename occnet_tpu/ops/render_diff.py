@@ -168,8 +168,15 @@ def render_expected_depth(
 
     count = valid.sum(axis=1)
     entered = count > 0
-    # exit distance / transmittance of the LAST valid voxel per ray
-    last_idx = jnp.maximum(count - 1, 0)
+    # exit distance / transmittance of the LAST valid voxel per ray.  Valid
+    # steps are NOT a prefix of the scan when the origin lies outside the
+    # grid (pre-entry steps occupy slots but are invalid), so index the last
+    # set bit rather than count-1 (same trick as ops/ray_march_vec.py).
+    S = valid.shape[1]
+    last_idx = jnp.where(
+        entered,
+        (S - 1) - jnp.argmax(valid[:, ::-1].astype(jnp.int32), axis=1),
+        0)
     max_d = jnp.take_along_axis(exit_d, last_idx[:, None], axis=1)[:, 0]
     p_out = jnp.take_along_axis(trans, last_idx[:, None], axis=1)[:, 0]
 

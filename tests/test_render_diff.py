@@ -103,6 +103,29 @@ def test_padded_and_missing_rays():
     assert pred[3] == -1.0 and gt[3] == -1.0          # never enters the grid
 
 
+def test_outside_origin_entering_matches_numpy_oracle():
+    """Origin outside the grid whose rays enter it: pre-entry march steps
+    occupy scan slots but are invalid, so the last-valid-step index must not
+    be computed as count-1 (ADVICE r1, render_diff.py:172)."""
+    rng = np.random.RandomState(7)
+    sigma = np.abs(rng.randn(*GRID)).astype(np.float32) * 0.8
+    X, Y, Z = GRID
+    origin = np.array([-4.3, -2.6, -1.7])           # outside, below the grid
+    targets = (np.array([[X / 2, Y / 2, Z / 2]])
+               + rng.randn(24, 3) * np.array([4.0, 4.0, 2.0]))
+    pred, gt = render_expected_depth(
+        jnp.asarray(sigma)[None], jnp.asarray(origin, jnp.float32)[None],
+        jnp.asarray(targets, jnp.float32))
+    pred, gt = np.asarray(pred), np.asarray(gt)
+    hit = 0
+    for i in range(targets.shape[0]):
+        ref_p, ref_g = _numpy_render(sigma, origin, targets[i])
+        np.testing.assert_allclose(pred[i], ref_p, rtol=3e-4, atol=3e-4)
+        np.testing.assert_allclose(gt[i], ref_g, rtol=3e-4, atol=3e-4)
+        hit += ref_p >= 0
+    assert hit >= 10                                # most rays do enter
+
+
 def test_gradient_matches_finite_differences():
     rng = np.random.RandomState(2)
     sigma = np.abs(rng.randn(*GRID)).astype(np.float64) * 0.5
