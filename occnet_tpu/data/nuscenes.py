@@ -129,7 +129,9 @@ class NuSceneOccDataset:
         imgs = np.stack(imgs)
 
         if self.device_normalize:
-            imgs = pad_to_divisor(imgs, self.size_divisor)
+            # ship UNPADDED uint8; `make_device_normalizer` normalises then
+            # pads on device, matching the host path's normalise->pad order
+            pass
         else:
             if self.training and rng is not None:
                 imgs = photometric_distortion(imgs, rng)
@@ -152,6 +154,9 @@ class NuSceneOccDataset:
         ego2img = np.einsum(
             "cij,jk->cik", geo["lidar2img"], geo["ego2lidar"])
 
+        ego2global = transform_matrix(
+            info.get("ego2global_translation", (0.0, 0.0, 0.0)),
+            info.get("ego2global_rotation", (1.0, 0.0, 0.0, 0.0)))
         return {
             "img": imgs,                       # (6, H, W, 3) float32
             "ego2img": ego2img.astype(np.float32),
@@ -160,6 +165,9 @@ class NuSceneOccDataset:
             "voxel_semantics": sem.astype(np.int32),
             "voxel_flow": flow,
             "token": info["token"],
+            # temporal-path metadata (streaming state + clip alignment)
+            "scene_token": info.get("scene_token", ""),
+            "ego2global": ego2global.astype(np.float32),
         }
 
     def collate(self, samples: Sequence[dict]) -> dict:
@@ -168,6 +176,28 @@ class NuSceneOccDataset:
             batch[k] = np.stack([s[k] for s in samples])
         batch["tokens"] = [s["token"] for s in samples]
         return batch
+
+
+def build_train_dataset(cfg: DataConfig, training: bool = True, **kwargs):
+    """Construct the train split from a DataConfig: a plain NuSceneOccDataset,
+    or — when `cfg.extra_trainsets` names additional (data_root, ann_file)
+    pairs — the ConcatOccDataset of all of them (the reference's
+    `ConcatDataset` trainset, `bevformer_base_occ_w_lightwheel.py:219-226`).
+    The LightwheelOcc quaternion-calibration branch triggers off each ann
+    file's own metadata version, as in the reference (`nuscenes_occ.py:91`)."""
+    import dataclasses
+
+    main = NuSceneOccDataset(
+        cfg, os.path.join(cfg.data_root, cfg.train_ann),
+        training=training, **kwargs)
+    if not cfg.extra_trainsets:
+        return main
+    extras = []
+    for root, ann in cfg.extra_trainsets:
+        ecfg = dataclasses.replace(cfg, data_root=root, extra_trainsets=())
+        extras.append(NuSceneOccDataset(
+            ecfg, os.path.join(root, ann), training=training, **kwargs))
+    return ConcatOccDataset([main] + extras)
 
 
 class ConcatOccDataset:

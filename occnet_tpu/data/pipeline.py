@@ -147,13 +147,14 @@ def random_scale_image(
     return out.astype(imgs.dtype), new_l2i
 
 
-def make_device_normalizer(cfg):
-    """On-device counterpart of `normalize_img` for uint8 batches uploaded
-    raw (`NuSceneOccDataset(device_normalize=True)`): 4x less host->device
-    image traffic.  Bitwise-identical to the host path when H/W are already
-    size-divisor aligned (base and tiny scales are); with padding the host
-    path pads zeros AFTER normalising (the reference's order) while this
-    normalises the zero padding, so only use it for aligned shapes."""
+def make_device_normalizer(cfg, size_divisor: int = 32):
+    """On-device counterpart of `normalize_img` + `pad_to_divisor` for uint8
+    batches uploaded raw (`NuSceneOccDataset(device_normalize=True)`): 4x+
+    less host->device image traffic.  The dataset ships the UNPADDED uint8
+    images; this normalises then bottom/right zero-pads on device — the same
+    order as the host path (and the reference, `transform_3d.py:11-62` after
+    `:65-99`), so the result is bitwise-identical at every image size,
+    including divisor-unaligned ones like nuScenes 900x1600."""
     mean = np.asarray(cfg.img_mean, np.float32)
     std = np.asarray(cfg.img_std, np.float32)
     if not cfg.to_rgb:
@@ -163,6 +164,12 @@ def make_device_normalizer(cfg):
         import jax.numpy as jnp
         if imgs.dtype != jnp.uint8:
             return imgs                     # already host-normalised
-        return (imgs.astype(jnp.float32) - mean) / std
+        out = (imgs.astype(jnp.float32) - mean) / std
+        h, w = out.shape[-3], out.shape[-2]
+        ph, pw = (-h) % size_divisor, (-w) % size_divisor
+        if ph or pw:
+            pad = [(0, 0)] * (out.ndim - 3) + [(0, ph), (0, pw), (0, 0)]
+            out = jnp.pad(out, pad)
+        return out
 
     return normalize

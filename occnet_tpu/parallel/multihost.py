@@ -45,11 +45,15 @@ def initialize(coordinator_address: Optional[str] = None,
         num_processes = int(os.environ["JAX_NUM_PROCESSES"])
     if process_id is None and "JAX_PROCESS_ID" in os.environ:
         process_id = int(os.environ["JAX_PROCESS_ID"])
-    if (coordinator_address is None and num_processes is None
-            and jax.process_count() == 1):
-        return False        # single host, nothing to do
-    if jax.process_count() > 1:
-        return True         # already initialised (e.g. TPU pod autodetect)
+    if jax.distributed.is_initialized():
+        return True         # idempotent re-entry
+    if coordinator_address is None and num_processes is None:
+        # no explicit coordination requested: single host, or a TPU-pod
+        # runtime that auto-detects peers on first backend use.  NOTE this
+        # is the only branch that may touch the backend — with explicit
+        # arguments we must NOT (jax.process_count() would initialise XLA
+        # and make distributed.initialize impossible).
+        return jax.process_count() > 1
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,
@@ -86,8 +90,38 @@ def allgather_host(tree: Any) -> Any:
     if jax.process_count() == 1:
         return jax.tree_util.tree_map(np.asarray, tree)
     from jax.experimental import multihost_utils
-    return jax.tree_util.tree_map(
-        np.asarray, multihost_utils.process_allgather(tree))
+
+    # 64-bit leaves would be silently downcast to 32-bit by the gather under
+    # default jax x32 (count overflow / precision loss in metric counters —
+    # ADVICE r1), so split them into pairs of 32-bit arrays and recombine.
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    encoded, kinds = [], []
+    for x in leaves:
+        x = np.asarray(x)
+        if x.dtype in (np.int64, np.uint64):
+            encoded.append(((x >> 31).astype(np.int32),
+                            (x & 0x7FFFFFFF).astype(np.int32)))
+            kinds.append("i64")
+        elif x.dtype == np.float64:
+            hi = x.astype(np.float32)
+            encoded.append((hi, (x - hi.astype(np.float64))
+                            .astype(np.float32)))
+            kinds.append("f64")
+        else:
+            encoded.append(x)
+            kinds.append(None)
+    gathered = multihost_utils.process_allgather(encoded)
+    decoded = []
+    for g, kind in zip(gathered, kinds):
+        if kind == "i64":
+            hi, lo = (np.asarray(a) for a in g)
+            decoded.append((hi.astype(np.int64) << 31) | lo.astype(np.int64))
+        elif kind == "f64":
+            hi, lo = (np.asarray(a) for a in g)
+            decoded.append(hi.astype(np.float64) + lo.astype(np.float64))
+        else:
+            decoded.append(np.asarray(g))
+    return jax.tree_util.tree_unflatten(treedef, decoded)
 
 
 def barrier(name: str = "barrier") -> None:

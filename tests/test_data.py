@@ -167,8 +167,9 @@ def test_prefetch_loader_order_and_determinism(tmp_path):
 
 
 def test_device_normalize_matches_host(tmp_path):
-    """uint8 upload + on-device normalise == host-normalised pipeline (at
-    divisor-aligned image sizes)."""
+    """uint8 upload + on-device normalise/pad == host-normalised pipeline,
+    bitwise, at BOTH divisor-aligned and unaligned (nuScenes-900-like) image
+    sizes — the device path normalises then pads, matching the host order."""
     import sys
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from test_cli import _write_miniset
@@ -177,20 +178,71 @@ def test_device_normalize_matches_host(tmp_path):
     from occnet_tpu.config import get_config
     from occnet_tpu.data import NuSceneOccDataset
     from occnet_tpu.data.pipeline import make_device_normalizer
+    import dataclasses
 
     cfg = get_config("tiny_occ")
-    root = str(tmp_path / "data")
-    os.makedirs(root, exist_ok=True)
     m = cfg.model
-    ann = _write_miniset(root, 1, (m.img_h, m.img_w),
-                         grid=(m.bev_w, m.bev_h, m.pillar_h))
+    for case, (ih, iw) in (("aligned", (m.img_h, m.img_w)),
+                           ("unaligned", (90, 160))):
+        root = str(tmp_path / f"data_{case}")
+        os.makedirs(root, exist_ok=True)
+        ann = _write_miniset(root, 1, (ih, iw),
+                             grid=(m.bev_w, m.bev_h, m.pillar_h))
+        dcfg = dataclasses.replace(cfg.data, data_root=root)
+        host = NuSceneOccDataset(dcfg, ann, training=False)
+        dev = NuSceneOccDataset(dcfg, ann, training=False,
+                                device_normalize=True)
+        s_host = host.get_sample(0)
+        s_dev = dev.get_sample(0)
+        assert s_dev["img"].dtype == np.uint8
+        assert s_dev["img"].shape[1] == ih       # unpadded upload
+        norm = make_device_normalizer(dcfg, dev.size_divisor)
+        out = np.asarray(jax.jit(norm)(jnp.asarray(s_dev["img"])))
+        assert out.shape == s_host["img"].shape
+        np.testing.assert_array_equal(out, s_host["img"])
+
+
+def test_lightwheel_concat_train_dataset(tmp_path):
+    """`base_occ_w_lightwheel`-style construction: nuScenes + LightwheelOcc
+    trainsets concatenated via `build_train_dataset`; the lightwheel half
+    exercises the quaternion-calibration branch and must produce the same
+    camera geometry as the matrix-calibration half (same fixture poses)."""
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from test_cli import _write_miniset
     import dataclasses
-    dcfg = dataclasses.replace(cfg.data, data_root=root)
-    host = NuSceneOccDataset(dcfg, ann, training=False)
-    dev = NuSceneOccDataset(dcfg, ann, training=False, device_normalize=True)
-    s_host = host.get_sample(0)
-    s_dev = dev.get_sample(0)
-    assert s_dev["img"].dtype == np.uint8
-    norm = make_device_normalizer(dcfg)
-    out = np.asarray(jax.jit(norm)(jnp.asarray(s_dev["img"])))
-    np.testing.assert_allclose(out, s_host["img"], atol=1e-4)
+    from occnet_tpu.config import get_config
+    from occnet_tpu.data import ConcatOccDataset, build_train_dataset
+
+    cfg = get_config("base_occ_w_lightwheel")
+    assert cfg.data.extra_trainsets           # preset carries the concat
+    m = get_config("tiny_occ").model
+    nusc_root = str(tmp_path / "nusc")
+    lw_root = str(tmp_path / "lightwheel")
+    os.makedirs(nusc_root), os.makedirs(lw_root)
+    _write_miniset(nusc_root, 2, (m.img_h, m.img_w),
+                   grid=(m.bev_w, m.bev_h, m.pillar_h),
+                   ann_name="infos_train.pkl")
+    _write_miniset(lw_root, 3, (m.img_h, m.img_w),
+                   grid=(m.bev_w, m.bev_h, m.pillar_h),
+                   version="LightwheelOcc-v1.0", ann_name="lw_train.pkl")
+
+    dcfg = dataclasses.replace(
+        get_config("tiny_occ").data, data_root=nusc_root,
+        train_ann="infos_train.pkl",
+        extra_trainsets=((lw_root, "lw_train.pkl"),))
+    ds = build_train_dataset(dcfg, training=False)
+    assert isinstance(ds, ConcatOccDataset)
+    assert len(ds) == 5
+    s_nusc = ds.get_sample(0)
+    s_lw = ds.get_sample(2)                   # first lightwheel sample
+    assert s_lw["img"].shape == s_nusc["img"].shape
+    # same fixture poses -> quaternion branch reproduces the matrix branch
+    np.testing.assert_allclose(s_lw["ego2img"], s_nusc["ego2img"],
+                               rtol=1e-5, atol=1e-4)
+    batch = ds.collate([s_nusc, s_lw])
+    assert batch["img"].shape[0] == 2
+    # without extra trainsets the factory returns the plain dataset
+    plain = build_train_dataset(
+        dataclasses.replace(dcfg, extra_trainsets=()), training=False)
+    assert not isinstance(plain, ConcatOccDataset) and len(plain) == 2

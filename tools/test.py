@@ -30,12 +30,20 @@ def parse_args():
                    help="checkpoint dir (defaults to <work-dir>/ckpts)")
     p.add_argument("--eval", action="store_true")
     p.add_argument("--format-only", action="store_true")
+    p.add_argument("--video", action="store_true",
+                   help="temporal streaming inference: carry the prev-BEV "
+                        "across sequential frames of a scene, aligned by "
+                        "the ego motion (the reference's video_test_mode / "
+                        "prev_frame_info, bevformer_occ.py:59-64,231-250)")
     p.add_argument("--out", default="submission.gz")
     p.add_argument("--max-samples", type=int, default=None)
-    p.add_argument("--device-normalize", action="store_true",
-                   help="upload raw uint8 images and normalise on device "
-                        "(4x less H2D; exact when H/W are divisor-aligned, "
-                        "as at base scale)")
+    p.add_argument("--device-normalize", action="store_true", default=True,
+                   help="upload raw uint8 images, normalise + pad on device "
+                        "(default: 4x+ less H2D, bitwise-equal to the host "
+                        "path at any image size)")
+    p.add_argument("--host-normalize", dest="device_normalize",
+                   action="store_false",
+                   help="normalise/pad on the host instead (float32 upload)")
     p.add_argument("--distributed", action="store_true",
                    help="multi-host eval/submission: each process evaluates "
                         "a contiguous shard of the val split (the "
@@ -88,11 +96,13 @@ def main():
               + (f" ({n_proc} processes x {len(shard)})" if n_proc > 1
                  else ""))
 
+    from occnet_tpu.data.pipeline import make_device_normalizer
+    _norm = make_device_normalizer(cfg.data, dataset.size_divisor)
+
     sample = dataset.collate([dataset.get_sample(0)])
     batch = {k: jnp.asarray(v) for k, v in sample.items() if k != "tokens"}
-    if batch["img"].dtype == jnp.uint8:
-        # init wants float inputs; values are irrelevant for shape inference
-        batch["img"] = batch["img"].astype(jnp.float32)
+    # init wants the float padded shape; _norm is identity on host-floats
+    batch["img"] = _norm(batch["img"])
     model, state = create_train_state(cfg, jax.random.PRNGKey(0), batch)
     if args.torch_checkpoint:
         import torch
@@ -118,10 +128,30 @@ def main():
         else:
             print("WARNING: no checkpoint found — evaluating random init")
 
-    from occnet_tpu.data.pipeline import make_device_normalizer
-    _norm = make_device_normalizer(cfg.data)
-    infer = jax.jit(lambda p, bs, i, e: model.apply(
-        {"params": p, "batch_stats": bs}, _norm(i), e))
+    def _fwd(p, bs, i, e):
+        # mutable=['intermediates'] collects the `sca_topk_overflow`
+        # exactness certificate sown by gather-mode SCA (ADVICE r1): a
+        # nonzero count means top-K camera compaction dropped visible
+        # queries and the "exact" mode was not exact for this config.
+        outs, aux = model.apply({"params": p, "batch_stats": bs},
+                                _norm(i), e, mutable=["intermediates"])
+        ov = jnp.zeros((), jnp.int32)
+        for path, leaf in jax.tree_util.tree_leaves_with_path(
+                aux.get("intermediates", {})):
+            if any("sca_topk_overflow" in str(k) for k in path):
+                ov = ov + jnp.sum(leaf).astype(jnp.int32)
+        return outs, ov
+
+    infer = jax.jit(_fwd)
+    stream = None
+    if args.video:
+        from occnet_tpu.training.temporal import StreamingInferenceState
+        # NOTE under --distributed each process streams its own contiguous
+        # shard; a scene cut at a shard boundary just starts a fresh chain,
+        # like the reference's per-GPU streaming state.
+        stream = StreamingInferenceState(cfg, model, state.params,
+                                         state.batch_stats,
+                                         preprocess=_norm)
 
     from concurrent.futures import ThreadPoolExecutor
 
@@ -134,8 +164,14 @@ def main():
     # Pipelined like training/eval_loop.py: prefetch sample loading on a
     # thread, keep the metric counters on device and fetch in bulk — in
     # pure-eval mode nothing syncs per frame.
+    overflow = jnp.zeros((), jnp.int32)
     with ThreadPoolExecutor(max_workers=2) as pool:
         m = len(shard)
+        # positions >= n_real in this shard are wrap-around padding
+        # (contiguous_shard_indices pads to equal shard sizes); the metric
+        # path must not double-count them (the submission path dedups via
+        # its dict merge) — the reference truncates in collect_results_cpu
+        n_real = max(0, min(m, n - proc * m))
         depth = min(4, m)
         futures = [pool.submit(dataset.get_sample, int(shard[i]))
                    for i in range(depth)]
@@ -144,9 +180,15 @@ def main():
             if i + depth < m:
                 futures.append(
                     pool.submit(dataset.get_sample, int(shard[i + depth])))
-            outs = infer(state.params, state.batch_stats,
-                         jnp.asarray(s["img"][None]),
-                         jnp.asarray(s["ego2img"][None]))
+            if stream is not None:
+                outs = stream.step(jnp.asarray(s["img"][None]),
+                                   jnp.asarray(s["ego2img"][None]),
+                                   s["scene_token"], s["ego2global"])
+            else:
+                outs, ov = infer(state.params, state.batch_stats,
+                                 jnp.asarray(s["img"][None]),
+                                 jnp.asarray(s["ego2img"][None]))
+                overflow = overflow + ov
             occ_cls, flow = get_occ(outs)
             origins = origins_by_token[s["token"]]
             if args.format_only:
@@ -154,7 +196,7 @@ def main():
                                     np.asarray(occ_cls[0], np.int32),
                                     np.asarray(flow[0], np.float32),
                                     origins))
-            if args.eval:
+            if args.eval and i < n_real:
                 padded, valid = pad_origins(origins, cfg.eval.max_origins)
                 pred, gt = render_pred_gt(
                     occ_cls[0].astype(jnp.int32), flow[0].astype(jnp.float32),
@@ -172,6 +214,11 @@ def main():
     for c in jax.device_get(pending):
         acc.update_counts(c)
     pending.clear()
+    overflow = int(jax.device_get(overflow))
+    if overflow > 0:
+        print(f"WARNING: sca_topk_overflow={overflow} — top-K camera "
+              "compaction dropped visible BEV queries; results are NOT "
+              "exact for this config (raise model.max_queries_per_cam)")
 
     if args.eval:
         if n_proc > 1:
