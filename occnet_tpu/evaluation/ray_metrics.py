@@ -299,7 +299,11 @@ class RayMetricAccumulator:
 def occ_score_from_metrics(metrics: Dict[str, np.ndarray]) -> Dict[str, float]:
     iou, ave = metrics["iou"], metrics["ave"]
     miou = float(np.nanmean(iou))
-    mave = float(np.nanmean(ave)) if np.isfinite(ave).any() else 0.0
+    # an all-NaN AVE (no flow-class TPs anywhere) propagates NaN into mAVE
+    # and OccScore, exactly as the reference (`ray_metrics.py:250-253`,
+    # python max(nan, 0.0) keeps the nan)
+    with np.errstate(invalid="ignore"):
+        mave = float(np.nanmean(ave))
     occ_score = miou * 0.9 + max(1.0 - mave, 0.0) * 0.1
     per_thr = [float(np.nanmean(iou[j])) for j in range(len(THRESHOLDS))]
     return {

@@ -17,11 +17,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from occnet_tpu.evaluation.ray_metrics import (
+    FLOW_CLASS_IDS as _FLOW_CLASS_IDS,
     FREE_ID,
-    RayMetricAccumulator,
     THRESHOLDS,
     generate_lidar_rays,
-    occ_score_from_metrics,
     render_sample_vec,
 )
 from occnet_tpu.evaluation.ego_pose import pad_origins
@@ -91,26 +90,71 @@ def merge_submissions(part_paths: Iterable[str], out_path: str) -> int:
 
 
 def score_submissions(pred_path: str, gt_path: str) -> dict:
-    """Offline scorer (`tools/ray_iou/metric.py:83-142`): pred vs GT
-    submission gz files -> metric dict."""
+    """Offline scorer replicating `tools/ray_iou/metric.py` (the HuggingFace
+    challenge-server scorer) EXACTLY, vectorised in numpy.  Its semantics
+    deliberately differ from the in-training `datasets/ray_metrics.py`
+    scorer in two ways we reproduce for leaderboard compatibility:
+
+    - rays whose GT class is 'free' are dropped from all counting
+      (`metric.py:41-48`); the in-training scorer keeps them;
+    - once a (threshold, class) has >=1 TP, the flow-error accumulation adds
+      the L2 error of ALL valid rays of the sample — not just that class's
+      TP rays (`metric.py:70-74` computes `flow_error` over the unmasked
+      arrays; `datasets/ray_metrics.py:184-190` masks to TPs).
+
+    A class with zero TPs scores 0/0 = NaN AVE; an all-NaN mAVE propagates
+    into a NaN OccScore, as the reference does (`metric.py:118-121`).
+
+    Raises KeyError when the prediction misses a GT token, matching the
+    reference's RuntimeError (`metric.py:114-115`)."""
     pred = load_submission(pred_path)["results"]
     gt = load_submission(gt_path)["results"]
-    acc = RayMetricAccumulator()
+    n_cls = FREE_ID + 1
+    n_thr = len(THRESHOLDS)
+    gt_cnt = np.zeros(n_cls)
+    pred_cnt = np.zeros(n_cls)
+    tp_cnt = np.zeros((n_thr, n_cls))
+    ave_sum = np.zeros((n_thr, n_cls))
+    ave_cnt = np.zeros((n_thr, n_cls))
+    flow_ids = np.asarray(
+        [i for i in range(n_cls) if i in _FLOW_CLASS_IDS], np.int64)
     for token, g in gt.items():
         p = pred[token]
         g_cls = g["pcd_cls"].astype(np.int32)
         valid = g_cls != FREE_ID
-        sample_p = {
-            "label": jnp.asarray(p["pcd_cls"].astype(np.int32))[None],
-            "dist": jnp.asarray(p["pcd_dist"].astype(np.float32))[None],
-            "flow": jnp.asarray(p["pcd_flow"].astype(np.float32))[None],
-            "valid": jnp.asarray(np.ones_like(valid))[None],
-        }
-        sample_g = {
-            "label": jnp.asarray(g_cls)[None],
-            "dist": jnp.asarray(g["pcd_dist"].astype(np.float32))[None],
-            "flow": jnp.asarray(g["pcd_flow"].astype(np.float32))[None],
-            "valid": jnp.asarray(np.ones_like(valid))[None],
-        }
-        acc.update(sample_p, sample_g)
-    return occ_score_from_metrics(acc.finalize())
+        gc = g_cls[valid]
+        gd = g["pcd_dist"].astype(np.float32)[valid]
+        gf = g["pcd_flow"].astype(np.float32)[valid]
+        pc = p["pcd_cls"].astype(np.int32)[valid]
+        pd = p["pcd_dist"].astype(np.float32)[valid]
+        pf = p["pcd_flow"].astype(np.float32)[valid]
+        gt_cnt += np.bincount(gc, minlength=n_cls)
+        pred_cnt += np.bincount(pc, minlength=n_cls)
+        l1 = np.abs(pd - gd)
+        cls_tp = pc == gc
+        flow_err_total = np.linalg.norm(gf - pf, axis=1).sum()
+        n_valid = gc.shape[0]
+        for j, thr in enumerate(THRESHOLDS):
+            tpj = np.bincount(gc[cls_tp & (l1 < thr)], minlength=n_cls)
+            tp_cnt[j] += tpj
+            hit = flow_ids[tpj[flow_ids] > 0]
+            ave_sum[j, hit] += flow_err_total
+            ave_cnt[j, hit] += n_valid
+    with np.errstate(divide="ignore", invalid="ignore"):
+        iou = (tp_cnt / (gt_cnt + pred_cnt - tp_cnt))[:, :-1]
+        ave = np.full(n_cls, np.nan)
+        ave[flow_ids] = 0.0
+        ave = (ave + ave_sum[1]) / ave_cnt[1]
+        ave = ave[:-1]
+        miou = float(np.nanmean(iou))
+        mave = float(np.nanmean(ave))
+    occ_score = miou * 0.9 + max(1.0 - mave, 0.0) * 0.1
+    return {
+        "RayIoU": miou,
+        "RayIoU@1": float(np.nanmean(iou[0])),
+        "RayIoU@2": float(np.nanmean(iou[1])),
+        "RayIoU@4": float(np.nanmean(iou[2])),
+        "mAVE": mave,
+        "OccScore": occ_score,
+        "final_Occ_Score": occ_score,       # the reference CLI's key name
+    }

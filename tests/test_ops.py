@@ -2,6 +2,7 @@
 submission round-trip scoring."""
 
 import gzip
+import os
 import pickle
 
 import numpy as np
@@ -120,3 +121,72 @@ def test_merge_submissions(tmp_path):
     merged = load_submission(out)
     assert set(merged["results"]) == {"tokA", "tokB", "tokC"}
     assert "method" in merged
+
+
+def test_score_submissions_matches_reference_metric_cli(tmp_path):
+    """Cross-check `score_submissions` against the actual reference scorer
+    (`/root/reference/tools/ray_iou/metric.py`, pure numpy — the HuggingFace
+    server code) on a shared synthetic submission pair, including the
+    all-NaN-AVE edge (a pair with no flow-class TPs -> NaN mAVE/OccScore in
+    BOTH scorers)."""
+    import importlib.util
+    import gzip as _gzip
+    import pickle as _pickle
+    import types
+
+    from occnet_tpu.evaluation.submission import score_submissions
+
+    ref_path = "/root/reference/tools/ray_iou/metric.py"
+    if not os.path.exists(ref_path):
+        import pytest
+        pytest.skip("reference scorer not mounted")
+    spec = importlib.util.spec_from_file_location("ref_metric", ref_path)
+    ref = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref)
+
+    rng = np.random.RandomState(5)
+
+    def fake_sub(path, tokens, cls_fn):
+        results = {}
+        for t in tokens:
+            n = 5000
+            cls = cls_fn(n)
+            results[t] = {
+                "pcd_cls": cls.astype(np.uint8),
+                "pcd_dist": (rng.rand(n) * 30).astype(np.float16),
+                "pcd_flow": rng.randn(n, 2).astype(np.float16),
+            }
+        with _gzip.open(path, "wb") as f:
+            _pickle.dump({"results": results}, f)
+        return path
+
+    tokens = ["a", "b", "c"]
+    # general case: random classes incl. free, random dists/flows
+    gt = fake_sub(str(tmp_path / "gt.gz"), tokens,
+                  lambda n: rng.randint(0, 17, n))
+    pred = fake_sub(str(tmp_path / "pred.gz"), tokens,
+                    lambda n: rng.randint(0, 17, n))
+    ours = score_submissions(pred, gt)
+    args = types.SimpleNamespace(pred=pred, gt=gt)
+    theirs = ref.compute(args)["public_score"]
+    for k_ours, k_ref in [("RayIoU@1", "RayIoU@1"), ("RayIoU@2", "RayIoU@2"),
+                          ("RayIoU@4", "RayIoU@4"), ("RayIoU", "RayIoU"),
+                          ("mAVE", "mAVE"),
+                          ("final_Occ_Score", "final_Occ_Score")]:
+        np.testing.assert_allclose(ours[k_ours], float(theirs[k_ref]),
+                                   rtol=1e-6, atol=1e-9,
+                                   err_msg=k_ours)
+
+    # edge: only non-flow classes -> all-NaN AVE must propagate identically
+    gt2 = fake_sub(str(tmp_path / "gt2.gz"), tokens,
+                   lambda n: rng.randint(9, 17, n))
+    pred2 = fake_sub(str(tmp_path / "pred2.gz"), tokens,
+                     lambda n: rng.randint(9, 17, n))
+    ours2 = score_submissions(pred2, gt2)
+    theirs2 = ref.compute(types.SimpleNamespace(pred=pred2,
+                                                gt=gt2))["public_score"]
+    assert np.isnan(ours2["mAVE"]) and np.isnan(float(theirs2["mAVE"]))
+    assert np.isnan(ours2["final_Occ_Score"]) \
+        and np.isnan(float(theirs2["final_Occ_Score"]))
+    np.testing.assert_allclose(ours2["RayIoU"], float(theirs2["RayIoU"]),
+                               rtol=1e-6)
