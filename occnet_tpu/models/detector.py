@@ -34,7 +34,8 @@ class OccNet(nn.Module):
         if c.backbone.type == "vovnet":
             self.backbone = VoVNet(
                 spec=c.backbone.vovnet_spec,
-                out_indices=c.backbone.out_indices, dtype=self.dtype,
+                out_indices=c.backbone.out_indices,
+                frozen_stages=c.backbone.frozen_stages, dtype=self.dtype,
                 name="backbone")
         else:
             depth = int(c.backbone.type.replace("resnet", ""))

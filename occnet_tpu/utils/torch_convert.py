@@ -303,3 +303,133 @@ def load_bevformer_into_variables(variables: Dict, state_dict: Mapping,
         new_vars["batch_stats"] = merge(new_vars["batch_stats"], stats,
                                         "batch_stats")
     return new_vars
+
+
+# ---------------------------------------------------------------------------
+# VoVNet checkpoint conversion (reference models/backbones/vovnet.py)
+# ---------------------------------------------------------------------------
+
+def convert_vovnet(
+    state_dict: Mapping[str, "np.ndarray"],
+    spec: str = "V-99-eSE",
+    flip_input_channels: bool = True,
+) -> Tuple[Dict, Dict]:
+    """torch VoVNet state_dict -> (params, batch_stats) for `models.vovnet.
+    VoVNet`.  Key layout follows the reference module's OrderedDict naming
+    (`vovnet.py:92-143,235-263`): `stem.stem_1/conv.weight`,
+    `stage2.OSA2_1.layers.0.OSA2_1_0/conv.weight`, dw variants with
+    `/dw_conv3x3` + `/pw_conv1x1` + `/pw_norm`, `conv_reduction`, `concat`,
+    `ese.fc`."""
+    from occnet_tpu.models.vovnet import VOVNET_SPECS
+
+    s = VOVNET_SPECS[spec]
+    sd = {k.replace("module.", "").replace("backbone.", ""): v
+          for k, v in state_dict.items()}
+    params: Dict = {}
+    stats: Dict = {}
+
+    def bn_pair(src):
+        p = {"scale": _to_np(sd[f"{src}.weight"]),
+             "bias": _to_np(sd[f"{src}.bias"])}
+        st = {"mean": _to_np(sd[f"{src}.running_mean"]),
+              "var": _to_np(sd[f"{src}.running_var"])}
+        return p, st
+
+    def conv_bn(dst, src):
+        bp = {"conv": {"kernel": _conv(sd[f"{src}/conv.weight"])}}
+        bp["bn"], bs = bn_pair(f"{src}/norm")
+        params[dst] = bp
+        stats[dst] = {"bn": bs}
+
+    def dw_block(dst, src):
+        bp = {"dw_conv": {"kernel": _conv(sd[f"{src}/dw_conv3x3.weight"])},
+              "pw_conv": {"kernel": _conv(sd[f"{src}/pw_conv1x1.weight"])}}
+        bp["pw_bn"], bs = bn_pair(f"{src}/pw_norm")
+        return bp, {"pw_bn": bs}
+
+    # stem (BGR -> RGB flip on the first conv, as for ResNet)
+    w = _conv(sd["stem.stem_1/conv.weight"])
+    if flip_input_channels:
+        w = w[:, :, ::-1, :].copy()
+    params["stem0"] = {"conv": {"kernel": w}}
+    params["stem0"]["bn"], bs0 = bn_pair("stem.stem_1/norm")
+    stats["stem0"] = {"bn": bs0}
+    for i, post in ((1, "stem_2"), (2, "stem_3")):
+        if s["dw"]:
+            params[f"stem{i}"], stats[f"stem{i}"] = dw_block(
+                f"stem{i}", f"stem.{post}")
+        else:
+            conv_bn(f"stem{i}", f"stem.{post}")
+
+    for stage in range(4):
+        sn = stage + 2
+        for b in range(s["blocks"][stage]):
+            src = f"stage{sn}.OSA{sn}_{b + 1}"
+            dst = f"stage{sn}_{b}"
+            bp: Dict = {}
+            bs: Dict = {}
+            red = f"{src}.conv_reduction.OSA{sn}_{b + 1}_reduction_0"
+            if f"{red}/conv.weight" in sd:
+                bp["reduction"] = {
+                    "conv": {"kernel": _conv(sd[f"{red}/conv.weight"])}}
+                bp["reduction"]["bn"], rbs = bn_pair(f"{red}/norm")
+                bs["reduction"] = {"bn": rbs}
+            for i in range(s["layers"]):
+                lsrc = f"{src}.layers.{i}.OSA{sn}_{b + 1}_{i}"
+                if s["dw"]:
+                    bp[f"l{i}"], bs[f"l{i}"] = dw_block(f"l{i}", lsrc)
+                else:
+                    bp[f"l{i}"] = {
+                        "conv": {"kernel": _conv(sd[f"{lsrc}/conv.weight"])}}
+                    bp[f"l{i}"]["bn"], lbs = bn_pair(f"{lsrc}/norm")
+                    bs[f"l{i}"] = {"bn": lbs}
+            csrc = f"{src}.concat.OSA{sn}_{b + 1}_concat"
+            bp["concat"] = {
+                "conv": {"kernel": _conv(sd[f"{csrc}/conv.weight"])}}
+            bp["concat"]["bn"], cbs = bn_pair(f"{csrc}/norm")
+            bs["concat"] = {"bn": cbs}
+            bp["ese"] = {"fc": {
+                "kernel": _conv(sd[f"{src}.ese.fc.weight"]),
+                "bias": _to_np(sd[f"{src}.ese.fc.bias"])}}
+            params[dst] = bp
+            stats[dst] = bs
+    return params, stats
+
+
+def load_vovnet_into_variables(variables: Dict, state_dict: Mapping,
+                               spec: str = "V-99-eSE",
+                               flip_input_channels: bool = True,
+                               subtree: str = "backbone") -> Dict:
+    """Shape-checked merge of a converted VoVNet checkpoint into a variables
+    tree (same contract as `load_resnet_into_variables`)."""
+    import jax
+
+    params, stats = convert_vovnet(state_dict, spec, flip_input_channels)
+
+    def merge(dst, src, path=""):
+        out = dict(dst)
+        for k, v in src.items():
+            if k not in dst:
+                raise KeyError(f"unexpected converted key {path}/{k}")
+            if isinstance(v, Mapping) and not isinstance(v, np.ndarray):
+                out[k] = merge(dst[k], v, f"{path}/{k}")
+            else:
+                want = np.shape(dst[k])
+                got = np.shape(v)
+                if want != got:
+                    raise ValueError(
+                        f"shape mismatch at {path}/{k}: {want} vs {got}")
+                out[k] = jax.numpy.asarray(v, dst[k].dtype)
+        return out
+
+    new_vars = dict(variables)
+    new_params = dict(new_vars["params"])
+    new_params[subtree] = merge(new_vars["params"][subtree], params,
+                                f"params/{subtree}")
+    new_vars["params"] = new_params
+    bstats = dict(new_vars.get("batch_stats", {}))
+    if subtree in bstats:
+        bstats[subtree] = merge(bstats[subtree], stats,
+                                f"batch_stats/{subtree}")
+        new_vars["batch_stats"] = bstats
+    return new_vars
