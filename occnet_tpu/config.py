@@ -63,6 +63,9 @@ class TSAConfig:
     num_points: int = 4
     num_bev_queue: int = 2
     dropout: float = 0.1
+    # deformable-sampling implementation: "xla" = patch-table gather
+    # (ops/msda.py), "pallas" = fused kernel (ops/msda_pallas.py)
+    msda_impl: str = "xla"
 
 
 @dataclass(frozen=True)
@@ -80,6 +83,9 @@ class SCAConfig:
     # exact with wide margin; the `sca_topk_overflow` intermediate is 0
     # whenever exactness held for a batch.
     max_queries_per_cam: int = 16384
+    # deformable-sampling implementation: "xla" = patch-table gather
+    # (ops/msda.py), "pallas" = fused kernel (ops/msda_pallas.py)
+    msda_impl: str = "xla"
 
 
 @dataclass(frozen=True)
@@ -171,6 +177,11 @@ class DataConfig:
     # GT grid (X, Y, Z) used for the zero-label fallback when a sample has
     # no labels.npz (test split, `pipelines/loading.py:21-33`).
     occ_size: Tuple[int, int, int] = (200, 200, 16)
+    # Additional concat train datasets as (data_root, ann_file) pairs — the
+    # reference's ConcatDataset of the nuScenes + LightwheelOcc synthetic
+    # trainsets (`bevformer_base_occ_w_lightwheel.py:187-226`); built by
+    # `data.build_train_dataset` into a ConcatOccDataset.
+    extra_trainsets: Tuple[Tuple[str, str], ...] = ()
 
 
 @dataclass(frozen=True)
@@ -247,6 +258,18 @@ def tiny_turbo_occ() -> OccNetConfig:
     return dataclasses.replace(cfg, model=model)
 
 
+def base_occ_w_lightwheel() -> OccNetConfig:
+    """Base occ trained on nuScenes + the LightwheelOcc synthetic trainset
+    (the reference's `bevformer_base_occ_w_lightwheel.py`: same model, the
+    train split becomes a ConcatDataset of the two)."""
+    cfg = OccNetConfig()
+    data = dataclasses.replace(
+        cfg.data,
+        extra_trainsets=(("data/lightwheelocc/",
+                          "lightwheel_occ_infos_train.pkl"),))
+    return dataclasses.replace(cfg, data=data)
+
+
 def r101_dcn_occ() -> OccNetConfig:
     """OccNet-R101-DCN base (BASELINE.json config 3): ResNet-101 with DCNv2
     on stages 3-4 (the BEVFormer/OccNet lineage backbone), exact encoder."""
@@ -270,6 +293,7 @@ def turbo_r101_dcn_occ() -> OccNetConfig:
 
 CONFIGS = {
     "base_occ": base_occ,
+    "base_occ_w_lightwheel": base_occ_w_lightwheel,
     "tiny_occ": tiny_occ,
     "turbo_occ": turbo_occ,
     "tiny_turbo_occ": tiny_turbo_occ,

@@ -152,10 +152,11 @@ def make_temporal_train_step(cfg: OccNetConfig, model, base_tx):
             state.params, state.batch_stats, batch, prev_bev, rng)
         updates, new_opt = base_tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
-        from occnet_tpu.training.train import TrainState
+        from occnet_tpu.training.train import TrainState, make_lr_schedule
         metrics = {"loss": loss, "loss_occ": loss_occ,
                    "loss_flow": loss_flow,
-                   "grad_norm": optax.global_norm(grads)}
+                   "grad_norm": optax.global_norm(grads),
+                   "lr": make_lr_schedule(cfg)(state.step)}
         return TrainState(step=state.step + 1, params=params,
                           batch_stats=new_stats, opt_state=new_opt), metrics
 
@@ -167,7 +168,8 @@ class StreamingInferenceState:
     carries prev_bev across sequential frames of a scene, resetting on scene
     change, aligning by the ego delta."""
 
-    def __init__(self, cfg: OccNetConfig, model, params, batch_stats):
+    def __init__(self, cfg: OccNetConfig, model, params, batch_stats,
+                 preprocess=None):
         self.cfg = cfg
         self.model = model
         self.params = params
@@ -175,18 +177,22 @@ class StreamingInferenceState:
         self.prev_bev: Optional[jax.Array] = None
         self.prev_scene: Optional[str] = None
         self.prev_pose: Optional[np.ndarray] = None
+        # optional jit-fused image preprocess (e.g. the uint8 device
+        # normaliser from data/pipeline.make_device_normalizer)
+        prep = preprocess if preprocess is not None else (lambda x: x)
 
         m = cfg.model
 
         def infer(params, batch_stats, img, ego2img, prev_bev, shift_ref):
             return model.apply({"params": params, "batch_stats": batch_stats},
-                               img, ego2img, prev_bev=prev_bev,
+                               prep(img), ego2img, prev_bev=prev_bev,
                                shift_ref_2d=shift_ref)
 
         self._infer_temporal = jax.jit(infer)
         self._infer_single = jax.jit(
             lambda params, batch_stats, img, ego2img: model.apply(
-                {"params": params, "batch_stats": batch_stats}, img, ego2img))
+                {"params": params, "batch_stats": batch_stats}, prep(img),
+                ego2img))
 
     def step(self, img, ego2img, scene_token: str,
              ego2global: np.ndarray) -> Dict[str, jax.Array]:

@@ -13,10 +13,17 @@ import numpy as np
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def _write_miniset(root, n_frames, img_hw, grid=(200, 200, 16)):
-    """Fabricate data_root with jpgs, occ labels npz, and an infos pkl."""
+def _write_miniset(root, n_frames, img_hw, grid=(200, 200, 16),
+                   version="v1.0-mini", ann_name="infos_val.pkl",
+                   n_scenes=1):
+    """Fabricate data_root with jpgs, occ labels npz, and an infos pkl.
+
+    With a LightwheelOcc `version` the sensor2lidar_rotation is written as a
+    quaternion (the branch `nuscenes_occ.py:91-99` keys on the metadata
+    version string)."""
     from PIL import Image
 
+    lightwheel = "LightwheelOcc" in version
     h, w = img_hw
     cam_names = ["CAM_FRONT", "CAM_FRONT_RIGHT", "CAM_FRONT_LEFT",
                  "CAM_BACK", "CAM_BACK_LEFT", "CAM_BACK_RIGHT"]
@@ -24,9 +31,13 @@ def _write_miniset(root, n_frames, img_hw, grid=(200, 200, 16)):
     rng = np.random.RandomState(0)
     base = np.array([[0.0, 0.0, 1.0], [-1.0, 0.0, 0.0], [0.0, -1.0, 0.0]])
     infos = []
+    per_scene = -(-n_frames // n_scenes)
     for fi in range(n_frames):
         token = f"tok{fi}"
-        scene = "scene-0001"
+        scene = f"scene-{fi // per_scene + 1:04d}"
+        # a small yaw per frame exercises the temporal-alignment rotation
+        yaw = 0.05 * (fi % per_scene)
+        ego_rot = [np.cos(yaw / 2), 0.0, 0.0, np.sin(yaw / 2)]
         cams = {}
         for ci, name in enumerate(cam_names):
             rel = f"imgs/{token}_{name}.jpg"
@@ -35,11 +46,21 @@ def _write_miniset(root, n_frames, img_hw, grid=(200, 200, 16)):
             a = 2 * np.pi * ci / 6
             Rz = np.array([[np.cos(a), -np.sin(a), 0],
                            [np.sin(a), np.cos(a), 0], [0, 0, 1.0]])
+            rot = Rz @ base
+            if lightwheel:
+                # wxyz quaternion of the rotation matrix (LightwheelOcc
+                # infos store quats; datasets branch on the version string)
+                t = np.trace(rot)
+                qw = np.sqrt(max(t + 1.0, 1e-12)) / 2.0
+                rot_q = np.array([
+                    qw, (rot[2, 1] - rot[1, 2]) / (4 * qw),
+                    (rot[0, 2] - rot[2, 0]) / (4 * qw),
+                    (rot[1, 0] - rot[0, 1]) / (4 * qw)])
             cams[name] = {
                 "data_path": rel,
                 "cam_intrinsic": np.array(
                     [[w / 2.0, 0, w / 2], [0, w / 2.0, h / 2], [0, 0, 1]]),
-                "sensor2lidar_rotation": Rz @ base,
+                "sensor2lidar_rotation": rot_q if lightwheel else rot,
                 "sensor2lidar_translation": np.array([1.0, 0.0, 1.5]),
             }
         occ_rel = f"openocc_v2/{scene}/{token}/labels.npz"
@@ -57,15 +78,14 @@ def _write_miniset(root, n_frames, img_hw, grid=(200, 200, 16)):
             "lidar2ego_translation": [0.94, 0.0, 1.84],
             "lidar2ego_rotation": [1.0, 0.0, 0.0, 0.0],
             "ego2global_translation": [100.0 + 2.0 * fi, 50.0, 0.0],
-            "ego2global_rotation": [1.0, 0.0, 0.0, 0.0],
+            "ego2global_rotation": ego_rot,
             "occ_path": occ_rel,
             "scene_token": scene,
             "timestamp": fi,
         })
-    ann = os.path.join(root, "infos_val.pkl")
+    ann = os.path.join(root, ann_name)
     with open(ann, "wb") as f:
-        pickle.dump({"infos": infos, "metadata": {"version": "v1.0-mini"}},
-                    f)
+        pickle.dump({"infos": infos, "metadata": {"version": version}}, f)
     return ann
 
 
@@ -142,3 +162,67 @@ def test_ray_casting_and_metric_cli(tmp_path, monkeypatch):
     with open(out_json) as f:
         scores = json.load(f)
     assert abs(scores["OccScore"] - 1.0) < 1e-9, scores
+
+
+def test_video_streaming_eval_cli(tmp_path, monkeypatch):
+    """tools/test.py --video: streaming temporal inference over a 2-scene
+    sequence (prev-BEV chained within scenes, reset across them)."""
+    import importlib.util
+    import json
+
+    root = str(tmp_path / "data")
+    os.makedirs(root, exist_ok=True)
+    cfg_mod = importlib.import_module("occnet_tpu.config")
+    m = cfg_mod.get_config("tiny_occ").model
+    _write_miniset(root, 4, (m.img_h, m.img_w),
+                   grid=(m.bev_w, m.bev_h, m.pillar_h), n_scenes=2)
+
+    work = str(tmp_path / "work")
+    argv = ["test.py", "--config", "tiny_occ", "--eval", "--video",
+            "--work-dir", work, "--max-samples", "4",
+            "--set", f"data.data_root={root}", "data.val_ann=infos_val.pkl"]
+    monkeypatch.setattr(sys, "argv", argv)
+    spec = importlib.util.spec_from_file_location(
+        "occnet_test_cli_video", os.path.join(REPO, "tools", "test.py"))
+    test_mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(test_mod)
+    test_mod.main()
+
+    with open(os.path.join(work, "eval_results.json")) as f:
+        scores = json.load(f)
+    assert np.isfinite(scores["RayIoU"])
+
+
+def test_train_cli_temporal_queue(tmp_path):
+    """tools/train.py --temporal-queue 2: video-runner training on scene
+    clips from the on-disk miniset.  Runs in a 2-virtual-device subprocess
+    (global batch 2) — the in-process 8-device mesh makes an 8-clip batch,
+    far too heavy for this 1-core host."""
+    import subprocess
+
+    root = str(tmp_path / "data")
+    os.makedirs(root, exist_ok=True)
+    import importlib
+    cfg_mod = importlib.import_module("occnet_tpu.config")
+    m = cfg_mod.get_config("tiny_occ").model
+    _write_miniset(root, 4, (m.img_h, m.img_w),
+                   grid=(m.bev_w, m.bev_h, m.pillar_h), n_scenes=2,
+                   ann_name="infos_train.pkl")
+
+    work = str(tmp_path / "work")
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    env["PYTHONPATH"] = REPO
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "train.py"),
+         "--config", "tiny_occ", "--work-dir", work,
+         "--max-steps", "1", "--temporal-queue", "2",
+         "--log-interval", "1", "--ckpt-interval-epochs", "1000",
+         "--set", f"data.data_root={root}",
+         "data.train_ann=infos_train.pkl", "data.workers=2"],
+        env=env, capture_output=True, text=True, timeout=1800)
+    assert r.returncode == 0, r.stderr[-3000:] + r.stdout[-1000:]
+    logs = [f for f in os.listdir(work) if f.startswith("train_")]
+    assert logs

@@ -144,3 +144,72 @@ def test_run_evaluation_pipeline(tiny_model):
                             params.get("batch_stats", {}), FakeVal(),
                             log=lambda *a: None)
     assert set(scores) >= {"RayIoU", "mAVE", "OccScore"}
+
+
+def test_clip_dataset_scene_boundaries_and_alignment(tmp_path):
+    """ClipDataset: clips stay within scenes, left-pad with prev_exists=False,
+    and per-transition rot/shift match the device-side alignment math
+    (ego_deltas_from_poses + shift_bev_ref)."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from test_cli import _write_miniset
+    import dataclasses
+    import jax.numpy as jnp
+    from occnet_tpu.config import get_config
+    from occnet_tpu.data import ClipDataset, NuSceneOccDataset
+    from occnet_tpu.ops.transforms import shift_bev_ref
+    from occnet_tpu.training.temporal import ego_deltas_from_poses
+
+    cfg = get_config("tiny_occ")
+    m = cfg.model
+    root = str(tmp_path / "data")
+    os.makedirs(root)
+    ann = _write_miniset(root, 6, (m.img_h, m.img_w),
+                         grid=(m.bev_w, m.bev_h, m.pillar_h), n_scenes=2)
+    dcfg = dataclasses.replace(cfg.data, data_root=root)
+    base = NuSceneOccDataset(dcfg, ann, training=False)
+    ds = ClipDataset(base, queue_length=3, pc_range=m.pc_range,
+                     bev_hw=(m.bev_h, m.bev_w))
+    assert len(ds) == 6
+
+    # frames 0-2 scene 1, 3-5 scene 2
+    np.testing.assert_array_equal(ds.clip_indices(0), [0, 0, 0])
+    np.testing.assert_array_equal(ds.clip_indices(1), [0, 0, 1])
+    np.testing.assert_array_equal(ds.clip_indices(2), [0, 1, 2])
+    np.testing.assert_array_equal(ds.clip_indices(3), [3, 3, 3])
+    np.testing.assert_array_equal(ds.clip_indices(4), [3, 3, 4])
+
+    s = ds.get_sample(2)
+    assert s["img"].shape[0] == 3
+    assert s["prev_exists"].tolist() == [False, True, True]
+    assert s["rot_deg"][0] == 0.0 and abs(s["rot_deg"][2]) > 0
+    assert s["token"] == base.sample_token(2)
+    # GT comes from the final frame
+    np.testing.assert_array_equal(s["voxel_semantics"],
+                                  base.get_sample(2)["voxel_semantics"])
+
+    # alignment oracle: same quantities through the device-side helpers
+    f1 = base.get_sample(1)
+    f2 = base.get_sample(2)
+    d_xy, yaw_d, yaw_c = ego_deltas_from_poses(
+        f1["ego2global"].astype(np.float64),
+        f2["ego2global"].astype(np.float64))
+    np.testing.assert_allclose(s["rot_deg"][2], yaw_d, rtol=1e-5, atol=1e-5)
+    grid_len = ((m.pc_range[4] - m.pc_range[1]) / m.bev_h,
+                (m.pc_range[3] - m.pc_range[0]) / m.bev_w)
+    want_shift = np.asarray(shift_bev_ref(
+        jnp.asarray(d_xy), jnp.float32(yaw_c), grid_len,
+        (m.bev_h, m.bev_w)))
+    np.testing.assert_allclose(s["shifts"][2], want_shift, rtol=1e-4,
+                               atol=1e-5)
+    np.testing.assert_allclose(s["shift"], s["shifts"][2])
+
+    # scene starts reset: first clip of scene 2 has no predecessors at all
+    s3 = ds.get_sample(3)
+    assert s3["prev_exists"].tolist() == [False, False, False]
+    np.testing.assert_array_equal(s3["rot_deg"], 0.0)
+
+    batch = ds.collate([s, s3])
+    assert batch["img"].shape[:2] == (2, 3)
+    assert batch["tokens"] == [s["token"], s3["token"]]

@@ -38,6 +38,12 @@ def parse_args():
     p.add_argument("--eval-interval-epochs", type=int, default=0,
                    help="run ray-metric evaluation on the val split every N "
                         "epochs (the reference's eval hook; 0 = off)")
+    p.add_argument("--temporal-queue", type=int, default=0,
+                   help="train the temporal (video) path on N-frame scene "
+                        "clips: frames 0..N-2 produce the history BEV "
+                        "grad-free, frame N-1 is supervised (the "
+                        "reference's EpochBasedRunner_video; 0 = "
+                        "single-frame training)")
     p.add_argument("--backbone-checkpoint", default=None,
                    help="torchvision resnet state_dict (.pth) to initialise "
                         "the backbone (the reference's "
@@ -82,7 +88,8 @@ def main():
     from occnet_tpu.parallel import make_mesh
     from occnet_tpu.training import create_train_state, make_train_step
     from occnet_tpu.training.checkpoint import CheckpointManager
-    from occnet_tpu.data import NuSceneOccDataset, shuffled_shard_indices
+    from occnet_tpu.data import (NuSceneOccDataset, build_train_dataset,
+                                 shuffled_shard_indices)
 
     if args.distributed:
         parallel.initialize()
@@ -111,14 +118,25 @@ def main():
     global_batch = cfg.data.batch_size_per_device * n_dp
     rng = np.random.RandomState(args.seed)
 
+    temporal = args.temporal_queue and args.temporal_queue > 1
     dataset = None
     if not args.synthetic_data:
-        ann = os.path.join(cfg.data.data_root, cfg.data.train_ann)
-        dataset = NuSceneOccDataset(cfg.data, ann, training=True)
+        dataset = build_train_dataset(cfg.data, training=True)
+        if temporal:
+            from occnet_tpu.data import ClipDataset, ConcatOccDataset
+            bev_hw = (cfg.model.bev_h, cfg.model.bev_w)
+
+            def wrap(d):
+                return ClipDataset(d, args.temporal_queue,
+                                   cfg.model.pc_range, bev_hw)
+
+            dataset = (ConcatOccDataset([wrap(d) for d in dataset.datasets])
+                       if isinstance(dataset, ConcatOccDataset)
+                       else wrap(dataset))
         steps_per_epoch = max(len(dataset) // global_batch, 1)
         cfg = apply_overrides(cfg, {"optim.steps_per_epoch": steps_per_epoch})
-        log.info("dataset: %d frames, %d steps/epoch", len(dataset),
-                 steps_per_epoch)
+        log.info("dataset: %d %s, %d steps/epoch", len(dataset),
+                 "clips" if temporal else "frames", steps_per_epoch)
 
     if dataset is not None:
         sample = dataset.collate([dataset.get_sample(0, rng)
@@ -128,10 +146,14 @@ def main():
                   if k != "tokens"}
     else:
         sample = make_synthetic_batch(cfg, global_batch, rng)
+    # model init wants a single-frame batch; clips supervise the last frame
+    init_sample = ({**sample, "img": sample["img"][:, -1],
+                    "ego2img": sample["ego2img"][:, -1]}
+                   if temporal else sample)
 
     t0 = time.time()
     model, state = create_train_state(cfg, jax.random.PRNGKey(args.seed),
-                                      sample)
+                                      init_sample)
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(state.params))
     log.info("model init in %.1fs — %.2fM params", time.time() - t0,
              n_params / 1e6)
@@ -155,7 +177,14 @@ def main():
         state = ckpt.restore(state)
         log.info("resumed from step %d", int(state.step))
 
-    step_fn = jax.jit(make_train_step(cfg, model), donate_argnums=0)
+    if temporal:
+        from occnet_tpu.training.train import make_optimizer
+        from occnet_tpu.training.temporal import make_temporal_train_step
+        tx = make_optimizer(cfg, state.params)
+        step_fn = jax.jit(make_temporal_train_step(cfg, model, tx),
+                          donate_argnums=0)
+    else:
+        step_fn = jax.jit(make_train_step(cfg, model), donate_argnums=0)
     key = jax.random.PRNGKey(args.seed)
 
     total_steps = cfg.optim.total_epochs * cfg.optim.steps_per_epoch
