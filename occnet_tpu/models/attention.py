@@ -28,6 +28,7 @@ from occnet_tpu.ops.msda import (
     multi_scale_deformable_attention,
     multi_scale_deformable_attention_chunked,
 )
+from occnet_tpu.ops.msda_pallas import multi_scale_deformable_attention_pallas
 
 xavier_uniform = nn.initializers.xavier_uniform()
 
@@ -67,6 +68,8 @@ class MSDeformableAttention3D(nn.Module):
     # query-chunked sampling bounds peak gather memory (the XLA analogue of
     # the CUDA kernel's im2col_step); 0 = unchunked
     query_chunk: int = 8000
+    # "xla" patch-table gather | "pallas" fused kernel
+    msda_impl: str = "xla"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -116,6 +119,9 @@ class MSDeformableAttention3D(nn.Module):
             :, :, None, None, None, :, :]
         loc = (ref + offsets).reshape(bs, num_query, H, L, P, 2)
 
+        if self.msda_impl == "pallas":
+            return multi_scale_deformable_attention_pallas(
+                value, spatial_shapes, loc, attn)
         if self.query_chunk and num_query > self.query_chunk:
             return multi_scale_deformable_attention_chunked(
                 value, spatial_shapes, loc, attn,

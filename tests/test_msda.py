@@ -93,3 +93,70 @@ def test_bilinear_sample_out_of_bounds_is_zero():
                    np.float32)
     got = np.asarray(bilinear_sample(jnp.asarray(v), 3, 4, jnp.asarray(loc)))
     np.testing.assert_allclose(got, 0.0, atol=1e-7)
+
+
+def test_patch_matches_ref_formulation_and_grads():
+    """The packed corner-patch fast path == the per-corner reference
+    formulation, values AND gradients, including clamp-shifted border
+    windows (x0 == -1 / extent-1)."""
+    import jax
+    from occnet_tpu.ops.msda import multi_scale_deformable_attention_ref
+
+    value, shapes, loc, w = make_inputs(seed=3, Q=29)
+    # force plenty of border-window samples around every edge
+    loc[0, :5] = np.float32(0.0)                  # x0 = y0 = -1
+    loc[0, 5:9] = np.float32(1.0)                 # x0/y0 = extent-1
+    loc[0, 9:12, ..., 0] = np.float32(1.0 / 13)   # near-left column, lvl 0
+    args = (jnp.asarray(value), shapes, jnp.asarray(loc), jnp.asarray(w))
+    got = multi_scale_deformable_attention(*args)
+    want = multi_scale_deformable_attention_ref(*args)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=1e-5)
+
+    def loss_patch(v, l, a):
+        return jnp.sum(multi_scale_deformable_attention(v, shapes, l, a)
+                       ** 2)
+
+    def loss_ref(v, l, a):
+        return jnp.sum(multi_scale_deformable_attention_ref(v, shapes, l, a)
+                       ** 2)
+
+    g1 = jax.grad(loss_patch, argnums=(0, 1, 2))(
+        jnp.asarray(value), jnp.asarray(loc), jnp.asarray(w))
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(
+        jnp.asarray(value), jnp.asarray(loc), jnp.asarray(w))
+    for a, b, name in zip(g1, g2, ("value", "loc", "weights")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=3e-4, rtol=2e-4, err_msg=name)
+
+
+def test_pallas_kernel_matches_oracle_and_grads():
+    """`ops/msda_pallas` (interpreter mode on the CPU test mesh) == torch
+    grid_sample oracle == XLA patch formulation, forward and gradients."""
+    import jax
+    from occnet_tpu.ops.msda_pallas import (
+        multi_scale_deformable_attention_pallas)
+
+    value, shapes, loc, w = make_inputs(seed=5, B=1, H=2, D=8, Q=70, P=4)
+    got = multi_scale_deformable_attention_pallas(
+        jnp.asarray(value), shapes, jnp.asarray(loc), jnp.asarray(w))
+    want = torch_msda_oracle(
+        torch.from_numpy(value), shapes, torch.from_numpy(loc),
+        torch.from_numpy(w)).numpy()
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-5, rtol=1e-5)
+
+    def loss_pl(v, l, a):
+        return jnp.sum(multi_scale_deformable_attention_pallas(
+            v, shapes, l, a) ** 2)
+
+    def loss_xla(v, l, a):
+        return jnp.sum(multi_scale_deformable_attention(
+            v, shapes, l, a) ** 2)
+
+    g1 = jax.grad(loss_pl, argnums=(0, 1, 2))(
+        jnp.asarray(value), jnp.asarray(loc), jnp.asarray(w))
+    g2 = jax.grad(loss_xla, argnums=(0, 1, 2))(
+        jnp.asarray(value), jnp.asarray(loc), jnp.asarray(w))
+    for a, b, name in zip(g1, g2, ("value", "loc", "weights")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=3e-4, rtol=2e-4, err_msg=name)
