@@ -100,7 +100,10 @@ def create_train_state(
     cfg: OccNetConfig, rng: jax.Array, sample_batch: Dict[str, jax.Array],
 ) -> Tuple[OccNet, TrainState]:
     model = OccNet(cfg.model)
-    variables = model.init(
+    # jit the init: flax traces eagerly otherwise, dispatching thousands of
+    # individual ops — ~30 ms + a remote compile EACH through the axon
+    # tunnel (minutes-to-hours); one compiled program instead
+    variables = jax.jit(model.init)(
         {"params": rng}, sample_batch["img"], sample_batch["ego2img"])
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})

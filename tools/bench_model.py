@@ -33,8 +33,8 @@ def main():
     rng = np.random.RandomState(0)
     batch = make_synthetic_batch(cfg, 1, rng)
     model = OccNet(cfg.model)
-    variables = model.init({"params": jax.random.PRNGKey(0)},
-                           batch["img"], batch["ego2img"])
+    variables = jax.jit(model.init)({"params": jax.random.PRNGKey(0)},
+                                    batch["img"], batch["ego2img"])
     img, ego2img = batch["img"], batch["ego2img"]
     c = cfg.model
 
