@@ -99,10 +99,10 @@ class NuSceneOccDataset:
         self.size_divisor = size_divisor
         # device_normalize: return raw uint8 images (4x less host->device
         # traffic — 27 vs 107 MB/frame at base scale) and let the caller
-        # normalise on device via `make_device_normalizer(cfg)`.  Exact for
-        # eval; ignored in training (photometric distortion needs host
-        # floats).
-        self.device_normalize = device_normalize and not training
+        # normalise on device: eval via `make_device_normalizer(cfg)`
+        # (bitwise-exact), training via `make_device_train_augmenter(cfg)`
+        # (photometric distortion + normalise + pad inside the jitted step).
+        self.device_normalize = device_normalize
         self.infos, self.metadata = load_infos(ann_file, load_interval)
         self.version = str(self.metadata.get("version", ""))
 

@@ -147,6 +147,121 @@ def random_scale_image(
     return out.astype(imgs.dtype), new_l2i
 
 
+def _rgb_to_hsv_jax(img):
+    """jax port of `_rgb_to_hsv` (identical math)."""
+    import jax.numpy as jnp
+    rgb = img / 255.0
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    maxc = rgb.max(-1)
+    minc = rgb.min(-1)
+    v = maxc
+    delta = maxc - minc
+    s = jnp.where(maxc > 0, delta / jnp.maximum(maxc, 1e-12), 0.0)
+    dz = jnp.maximum(delta, 1e-12)
+    h = jnp.where(maxc == r, (g - b) / dz % 6.0,
+                  jnp.where(maxc == g, (b - r) / dz + 2.0,
+                            (r - g) / dz + 4.0))
+    h = jnp.where(delta > 0, h * 60.0, 0.0)
+    return jnp.stack([h, s, v], axis=-1)
+
+
+def _hsv_to_rgb_jax(hsv):
+    """jax port of `_hsv_to_rgb` (identical math)."""
+    import jax.numpy as jnp
+    h, s, v = hsv[..., 0] / 60.0, hsv[..., 1], hsv[..., 2]
+    i = jnp.floor(h) % 6
+    f = h - jnp.floor(h)
+    p = v * (1 - s)
+    q = v * (1 - s * f)
+    t = v * (1 - s * (1 - f))
+    conds = [i == 0, i == 1, i == 2, i == 3, i == 4]
+    r = jnp.select(conds, [v, q, p, p, t], v)
+    g = jnp.select(conds, [t, v, v, q, p], p)
+    b = jnp.select(conds, [p, p, t, v, v], q)
+    return jnp.stack([r, g, b], axis=-1) * 255.0
+
+
+def photometric_distortion_device(
+    key,
+    imgs,                             # (..., H, W, 3) float32 RGB in [0,255]
+    brightness_delta: float = 32.0,
+    contrast_range: Tuple[float, float] = (0.5, 1.5),
+    saturation_range: Tuple[float, float] = (0.5, 1.5),
+    hue_delta: float = 18.0,
+):
+    """Jittable photometric jitter, one independent draw set per image —
+    the same gates/ranges/ordering as the host `photometric_distortion`
+    (reference `transform_3d.py:102-199`): brightness, contrast (pre or post
+    by mode), HSV saturation + hue, channel swap, each applied with p=0.5.
+    Branches become `where` selects; the HSV round-trip is unconditional,
+    exactly like the host path."""
+    import jax
+    import jax.numpy as jnp
+
+    def one(k, img):
+        ks = jax.random.split(k, 13)
+        uni = lambda kk, lo, hi: jax.random.uniform(     # noqa: E731
+            kk, (), minval=lo, maxval=hi)
+        gate = lambda kk: jax.random.bernoulli(kk, 0.5)  # noqa: E731
+
+        img = jnp.where(
+            gate(ks[0]),
+            img + uni(ks[1], -brightness_delta, brightness_delta), img)
+        mode1 = jax.random.bernoulli(ks[2], 0.5)
+        img = jnp.where(mode1 & gate(ks[3]),
+                        img * uni(ks[4], *contrast_range), img)
+        hsv = _rgb_to_hsv_jax(img)
+        s = jnp.where(gate(ks[5]),
+                      hsv[..., 1] * uni(ks[6], *saturation_range),
+                      hsv[..., 1])
+        h = hsv[..., 0] + jnp.where(gate(ks[7]),
+                                    uni(ks[8], -hue_delta, hue_delta), 0.0)
+        h = jnp.where(h > 360.0, h - 360.0, h)
+        h = jnp.where(h < 0.0, h + 360.0, h)
+        img = _hsv_to_rgb_jax(jnp.stack([h, s, hsv[..., 2]], axis=-1))
+        img = jnp.where(~mode1 & gate(ks[9]),
+                        img * uni(ks[10], *contrast_range), img)
+        perm = jax.random.permutation(ks[11], 3)
+        img = jnp.where(gate(ks[12]), img[..., perm], img)
+        return img
+
+    lead = imgs.shape[:-3]
+    flat = imgs.reshape((-1,) + imgs.shape[-3:])
+    keys = jax.random.split(key, flat.shape[0])
+    out = jax.vmap(one)(keys, flat)
+    return out.reshape(lead + imgs.shape[-3:])
+
+
+def make_device_train_augmenter(cfg, size_divisor: int = 32,
+                                distort: bool = True):
+    """On-device train-time counterpart of the host pipeline for uint8
+    uploads: photometric distortion -> normalise -> bottom/right zero-pad,
+    the host path's exact order (`NuSceneOccDataset.get_sample`).  Returns
+    `augment(key, imgs)`; float inputs pass through unchanged (already
+    host-processed)."""
+    mean = np.asarray(cfg.img_mean, np.float32)
+    std = np.asarray(cfg.img_std, np.float32)
+    if not cfg.to_rgb:
+        mean, std = mean[::-1].copy(), std[::-1].copy()
+
+    def augment(key, imgs):
+        import jax.numpy as jnp
+        if imgs.dtype != jnp.uint8:
+            return imgs                     # already host-processed
+        out = imgs.astype(jnp.float32)
+        if distort:
+            out = photometric_distortion_device(key, out)
+        out = (out - mean) / std
+        h, w = out.shape[-3], out.shape[-2]
+        ph, pw = (-h) % size_divisor, (-w) % size_divisor
+        if ph or pw:
+            pad = [(0, 0)] * (out.ndim - 3) + [(0, ph), (0, pw), (0, 0)]
+            out = jnp.pad(out, pad)
+        return out
+
+    return augment
+
+
 def make_device_normalizer(cfg, size_divisor: int = 32):
     """On-device counterpart of `normalize_img` + `pad_to_divisor` for uint8
     batches uploaded raw (`NuSceneOccDataset(device_normalize=True)`): 4x+

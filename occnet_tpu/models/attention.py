@@ -159,6 +159,7 @@ class SpatialCrossAttention(nn.Module):
         msda = MSDeformableAttention3D(
             embed_dims=self.embed_dims, num_heads=self.cfg.num_heads,
             num_levels=self.cfg.num_levels, num_points=self.cfg.num_points,
+            msda_impl=self.cfg.msda_impl,
             dtype=self.dtype, name="deformable_attention")
 
         v_all = value.reshape(B * n_cam, -1, C)
@@ -294,7 +295,10 @@ class TemporalSelfAttention(nn.Module):
             offsets.astype(jnp.float32) / normalizer[None, None, None, :,
                                                      None, :]
 
-        if Q > 8000 and Q % 8000 == 0:
+        if self.cfg.msda_impl == "pallas":
+            out = multi_scale_deformable_attention_pallas(
+                value, spatial_shapes, loc, attn)        # (B*2, Q, C)
+        elif Q > 8000 and Q % 8000 == 0:
             out = multi_scale_deformable_attention_chunked(
                 value, spatial_shapes, loc, attn, chunk_size=8000)
         else:

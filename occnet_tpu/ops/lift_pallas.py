@@ -192,6 +192,37 @@ def _pass1_bwd(pos, g_tmp, K):
 
 
 # ---------------------------------------------------------------------------
+# pass-1 order compaction: move each camera's live zr rows (rows whose pass
+# order is this kernel's order AND that are camera-visible) into a dense
+# prefix, so the ~50% of pass-1 blocks that used to be MIXED live/dead become
+# fully live or fully dead — and the fully dead tail is skipped by the
+# existing block predication.  This is ROADMAP "order compaction": each
+# (cam, z, row) consumes exactly ONE of tmpA/tmpB, so compacted pass-1 does
+# half the dots and half the tmp writes of the uncompacted form.
+# ---------------------------------------------------------------------------
+
+
+def _compact_perm(pos):
+    """pos (A, N_pad, 1, ZRp) -> (pos_compact, inv_fill (A, ZRp) int32).
+
+    Per camera, stable-sorts the zr axis live-rows-first (a row is live when
+    any of its N positions has hat support).  `inv_fill[a, zr]` is the
+    compact row now holding original row zr; rows dead in this pass order
+    repeat the previous live row's index — consecutive equal block indices
+    make the pass-2 pipeline skip the re-fetch DMA for the unused slab."""
+    live = (pos[:, :, 0, :] > -2.0).any(axis=1)           # (A, ZRp)
+    perm = jnp.argsort(~live, axis=-1, stable=True)       # live-first
+    pos_c = jnp.take_along_axis(pos, perm[:, None, None, :], axis=3)
+    inv = jnp.argsort(perm, axis=-1).astype(jnp.int32)
+    # stable sort => inv is increasing over live rows, so a running max
+    # forward-fills dead rows with the previous live index (rows before the
+    # first live one read compact row 0; their weights are all zero)
+    inv_fill = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(live, inv, 0), axis=-1)
+    return pos_c, inv_fill
+
+
+# ---------------------------------------------------------------------------
 # pass 2: resample along the image lines onto BEV columns; camera sum +
 # visibility-count normalisation folded in
 # ---------------------------------------------------------------------------
@@ -248,6 +279,69 @@ def _pass2(pos2A, pos2B, inv_count, tmpA, tmpB, ZR, bev_h, out_dtype):
         out_shape=jax.ShapeDtypeStruct((ZR, M, C), out_dtype),
         interpret=_interpret(),
     )(pos2A, pos2B, inv_count, tmpA, tmpB)
+
+
+def _pass2_compact(pos2A, pos2B, inv_count, invA, invB, tmpA, tmpB, ZR,
+                   bev_h, out_dtype):
+    """`_pass2` over per-camera COMPACTED tmp buffers.
+
+    tmpA/tmpB rows follow each camera's own live-first permutation, so the
+    row holding output zr differs per camera: the tmp arrays are passed once
+    per camera with a scalar-prefetched index map (invA/invB (A, ZRp) int32)
+    selecting that camera's slab.  The kernel's math (one MXU contraction
+    over the concatenated camera slabs) is identical to `_pass2`."""
+    ZRp, A, M = pos2A.shape
+    w, C = tmpA.shape[2], tmpA.shape[3]
+    h = tmpB.shape[2]
+
+    def kernel(ia_ref, ib_ref, p2a_ref, p2b_ref, inv_ref, *refs):
+        del ia_ref, ib_ref
+        tas, tbs, out_ref = refs[:A], refs[A:2 * A], refs[2 * A]
+        w_all = _pass2_w_all(p2a_ref, p2b_ref, A, w, h)     # (A*(w+h), M)
+        t_all = jnp.concatenate(
+            [r[0, 0] for r in tas] + [r[0, 0] for r in tbs], axis=0)
+        acc = jax.lax.dot_general(
+            w_all, t_all, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)             # (M, C)
+        inv = jnp.transpose(inv_ref[0])                     # (M, 1)
+        out_ref[0] = (acc * inv).astype(out_ref.dtype)
+
+    def _cam_map(a):
+        def im(zr, ia, ib, _a=a):
+            return (ia[_a, zr], _a, 0, 0)
+
+        def im_b(zr, ia, ib, _a=a):
+            return (ib[_a, zr], _a, 0, 0)
+
+        return im, im_b
+
+    specs_a, specs_b = [], []
+    for a in range(A):
+        im, im_b = _cam_map(a)
+        specs_a.append(pl.BlockSpec((1, 1, w, C), im,
+                                    memory_space=pltpu.VMEM))
+        specs_b.append(pl.BlockSpec((1, 1, h, C), im_b,
+                                    memory_space=pltpu.VMEM))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(ZR,),
+        in_specs=[
+            pl.BlockSpec((1, A, M), lambda zr, ia, ib: (zr, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, A, M), lambda zr, ia, ib: (zr, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, M), lambda zr, ia, ib: (zr % bev_h, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ] + specs_a + specs_b,
+        out_specs=pl.BlockSpec((1, M, C), lambda zr, ia, ib: (zr, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((ZR, M, C), out_dtype),
+        interpret=_interpret(),
+    )(invA, invB, pos2A, pos2B, inv_count, *([tmpA] * A), *([tmpB] * A))
 
 
 def _pass2_bwd_kernel(p2a_ref, p2b_ref, inv_ref, g_ref, da_ref, db_ref):
@@ -309,14 +403,22 @@ def lift_level(feat, posA, posB, pos2A, pos2B, inv_count, ZR, bev_h,
 
     feat (A, h, w, C) bf16; posA (A, w_pad, 1, ZR_pad);
     posB (A, h_pad, 1, ZR_pad); pos2A/pos2B (ZR_pad, A, M) (padded rows -2);
-    inv_count (bev_h, 1, M); hw = (h, w) static.  Returns (ZR, M, C)."""
+    inv_count (bev_h, 1, M); hw = (h, w) static.  Returns (ZR, M, C).
+
+    Forward runs order-compacted: each camera's pass-1 rows are permuted
+    live-first (`_compact_perm`) so the dead-order half of pass-1 is a
+    predication-skipped tail, and pass-2 follows via scalar-prefetched row
+    indices.  The backward keeps the uncompacted formulation (it only needs
+    the original position residuals)."""
     w_pad, h_pad = posA.shape[1], posB.shape[1]
     featT = _pad_axis(jnp.swapaxes(feat, 1, 2), 1, w_pad, 0)  # (A,w_pad,h,C)
     featB = _pad_axis(feat, 1, h_pad, 0)                      # (A,h_pad,w,C)
-    tmpA = _pass1(posA, featT)                 # (ZR_pad, A, w_pad, C)
-    tmpB = _pass1(posB, featB)                 # (ZR_pad, A, h_pad, C)
-    return _pass2(pos2A, pos2B, inv_count, tmpA, tmpB, ZR, bev_h,
-                  jnp.dtype(out_dtype))
+    posA_c, invA = _compact_perm(posA)
+    posB_c, invB = _compact_perm(posB)
+    tmpA = _pass1(posA_c, featT)               # (ZR_pad, A, w_pad, C)
+    tmpB = _pass1(posB_c, featB)               # (ZR_pad, A, h_pad, C)
+    return _pass2_compact(pos2A, pos2B, inv_count, invA, invB, tmpA, tmpB,
+                          ZR, bev_h, jnp.dtype(out_dtype))
 
 
 def _lift_level_fwd(feat, posA, posB, pos2A, pos2B, inv_count, ZR, bev_h,

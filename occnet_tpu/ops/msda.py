@@ -113,7 +113,11 @@ def multi_scale_deformable_attention(
     assert H == Hh and L == len(spatial_shapes)
     assert sum(h * w for h, w in spatial_shapes) == V, (
         f"value length {V} != sum of {spatial_shapes}")
-    assert all(h >= 2 and w >= 2 for h, w in spatial_shapes), spatial_shapes
+    if any(h < 2 or w < 2 for h, w in spatial_shapes):
+        # the packed 2x2 window needs >= 2 cells per axis; degenerate levels
+        # only occur at toy test shapes — use the per-corner form there
+        return multi_scale_deformable_attention_ref(
+            value, spatial_shapes, sampling_locations, attention_weights)
 
     value_hm = jnp.transpose(value, (0, 2, 1, 3)).reshape(B * H, V, D)
     tables = []

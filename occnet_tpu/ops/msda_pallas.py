@@ -37,8 +37,12 @@ from occnet_tpu.ops.msda import (
     multi_scale_deformable_attention,
 )
 
-# queries per grid step; P samples each -> BLKQ*P scalar slots in SMEM
-BLKQ = 64
+def _blkq(P: int) -> int:
+    """Queries per grid step.  Mosaic tiles 1-D 32-bit SMEM refs at 1024
+    elements, so the per-block scalar streams (BLKQ*P slots) must be
+    1024-aligned."""
+    import math
+    return math.lcm(1024, P) // P
 
 
 def _interpret() -> bool:
@@ -47,7 +51,27 @@ def _interpret() -> bool:
     return jax.default_backend() not in ("tpu", "axon")
 
 
-def _level_kernel(P: int):
+# max hw rows whose (hw, D<=32) f32 slice stays VMEM-resident double-buffered
+# (lane padding makes a row cost 128 lanes x 4 B regardless of D)
+_VMEM_ROW_BUDGET = 14336
+
+
+def _sample_level_xla(value_l, bt, w4, w: int):
+    """Patch-table gather for one level (see ops/msda.py): used for levels
+    too large for VMEM residency.  value_l (BH, hw, D); bt (BH, Qp, P)
+    packed-window base indices; w4 (BH, Qp, P, 4) combined weights."""
+    BH, hw, D = value_l.shape
+    table = jnp.concatenate(
+        [value_l, jnp.roll(value_l, -1, axis=1),
+         jnp.roll(value_l, -w, axis=1),
+         jnp.roll(value_l, -(w + 1), axis=1)], axis=-1)   # (BH, hw, 4D)
+    Qp, P = bt.shape[1], bt.shape[2]
+    g = jnp.take_along_axis(table, bt.reshape(BH, Qp * P)[..., None], axis=1)
+    g = g.reshape(BH, Qp, P, 4, D)
+    return (g * w4[..., None]).sum(axis=(2, 3))
+
+
+def _level_kernel(P: int, blkq: int):
     def kernel(bt_ref, bb_ref, w_ref, val_ref, out_ref):
         D = out_ref.shape[-1]
 
@@ -55,46 +79,51 @@ def _level_kernel(P: int):
             acc = jnp.zeros((1, D), jnp.float32)
             for p in range(P):
                 i = q * P + p
-                top = val_ref[0, pl.ds(bt_ref[0, i], 2), :]
-                bot = val_ref[0, pl.ds(bb_ref[0, i], 2), :]
+                top = val_ref[0, pl.ds(bt_ref[i], 2), :]
+                bot = val_ref[0, pl.ds(bb_ref[i], 2), :]
                 acc = (acc
-                       + w_ref[0, 4 * i] * top[0:1, :]
-                       + w_ref[0, 4 * i + 1] * top[1:2, :]
-                       + w_ref[0, 4 * i + 2] * bot[0:1, :]
-                       + w_ref[0, 4 * i + 3] * bot[1:2, :])
-            out_ref[0, q, :] = acc[0]
+                       + w_ref[4 * i] * top[0:1, :]
+                       + w_ref[4 * i + 1] * top[1:2, :]
+                       + w_ref[4 * i + 2] * bot[0:1, :]
+                       + w_ref[4 * i + 3] * bot[1:2, :])
+            out_ref[q, :] = acc[0]
             return 0
 
-        jax.lax.fori_loop(0, BLKQ, body, 0)
+        jax.lax.fori_loop(0, blkq, body, 0)
 
     return kernel
 
 
 def _sample_level(value_l, bt, bb, w4, P: int):
     """value_l (BH, hw, D) f32; bt/bb (BH, Qp, P) int32 slab bases;
-    w4 (BH, Qp, P, 4) f32 combined corner weights -> (BH, Qp, D) f32."""
+    w4 (BH, Qp, P, 4) f32 combined corner weights -> (BH, Qp, D) f32.
+
+    Flat 1-D grid over (BH x query-blocks): Mosaic requires SMEM blocks to
+    be 1-D (or tile-aligned), so the scalar streams are flattened and the
+    value slice is selected via integer division in the index map."""
     BH, hw, D = value_l.shape
     Qp = bt.shape[1]
-    grid = (BH, Qp // BLKQ)
-    return pl.pallas_call(
-        _level_kernel(P),
-        out_shape=jax.ShapeDtypeStruct((BH, Qp, D), jnp.float32),
-        grid=grid,
+    BLKQ = _blkq(P)
+    nq = Qp // BLKQ
+    out = pl.pallas_call(
+        _level_kernel(P, BLKQ),
+        out_shape=jax.ShapeDtypeStruct((BH * Qp, D), jnp.float32),
+        grid=(BH * nq,),
         in_specs=[
-            pl.BlockSpec((1, BLKQ * P), lambda b, j: (b, j),
+            pl.BlockSpec((BLKQ * P,), lambda i: (i,),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, BLKQ * P), lambda b, j: (b, j),
+            pl.BlockSpec((BLKQ * P,), lambda i: (i,),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, BLKQ * P * 4), lambda b, j: (b, j),
+            pl.BlockSpec((BLKQ * P * 4,), lambda i: (i,),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, hw, D), lambda b, j: (b, 0, 0),
+            pl.BlockSpec((1, hw, D), lambda i: (i // nq, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, BLKQ, D), lambda b, j: (b, j, 0),
+        out_specs=pl.BlockSpec((BLKQ, D), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         interpret=_interpret(),
-    )(bt.reshape(BH, -1), bb.reshape(BH, -1), w4.reshape(BH, -1),
-      value_l)
+    )(bt.reshape(-1), bb.reshape(-1), w4.reshape(-1), value_l)
+    return out.reshape(BH, Qp, D)
 
 
 def _forward(value, spatial_shapes, sampling_locations, attention_weights):
@@ -102,7 +131,9 @@ def _forward(value, spatial_shapes, sampling_locations, attention_weights):
     Bq, Q, Hh, L, P, _ = sampling_locations.shape
     assert H == Hh and L == len(spatial_shapes)
     assert sum(h * w for h, w in spatial_shapes) == V
-    assert all(h >= 2 and w >= 2 for h, w in spatial_shapes), spatial_shapes
+    assert all(h >= 2 and w >= 2 for h, w in spatial_shapes), (
+        "degenerate (<2 cell) pyramid levels are not supported by the "
+        "fused kernel; use ops.msda at toy shapes")
 
     BH = B * H
     value_hm = jnp.transpose(value, (0, 2, 1, 3)).reshape(BH, V, D)
@@ -112,7 +143,7 @@ def _forward(value, spatial_shapes, sampling_locations, attention_weights):
     attn_hm = jnp.transpose(attention_weights, (0, 2, 1, 3, 4)).reshape(
         BH, Q, L, P).astype(jnp.float32)
 
-    Qp = -(-Q // BLKQ) * BLKQ
+    Qp = -(-Q // _blkq(P)) * _blkq(P)
     pad = Qp - Q
     if pad:
         loc_hm = jnp.pad(loc_hm, ((0, 0), (0, pad), (0, 0), (0, 0), (0, 0)))
@@ -136,7 +167,12 @@ def _forward(value, spatial_shapes, sampling_locations, attention_weights):
         a = attn_hm[:, :, lvl]
         w4 = jnp.stack([wy0 * wx0, wy0 * wx1, wy1 * wx0, wy1 * wx1],
                        axis=-1) * a[..., None]           # (BH, Qp, P, 4)
-        out = out + _sample_level(value_l, bt, bb, w4, P)
+        if h * w > _VMEM_ROW_BUDGET:
+            # level too big for VMEM residency (the (hw, 32) f32 slice pads
+            # to 128 lanes): use the patch-table XLA gather for this level
+            out = out + _sample_level_xla(value_l, bt, w4, w)
+        else:
+            out = out + _sample_level(value_l, bt, bb, w4, P)
 
     out = out[:, :Q]
     out = jnp.transpose(out.reshape(B, H, Q, D), (0, 2, 1, 3))
@@ -175,7 +211,12 @@ def multi_scale_deformable_attention_pallas(
 ) -> jax.Array:                          # (B, Q, H*D)
     """Fused Pallas deformable-attention sampling (contract identical to
     `msda.multi_scale_deformable_attention`); differentiable via a
-    custom VJP that reuses the XLA formulation's exact gradients."""
+    custom VJP that reuses the XLA formulation's exact gradients.
+    Degenerate (<2 cell) pyramid levels — toy test shapes — fall back to
+    the XLA formulation entirely."""
     shapes = tuple((int(h), int(w)) for h, w in spatial_shapes)
+    if any(h < 2 or w < 2 for h, w in shapes):
+        return multi_scale_deformable_attention(
+            value, shapes, sampling_locations, attention_weights)
     return _msda_pallas(value, shapes, sampling_locations,
                         attention_weights)

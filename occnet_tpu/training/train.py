@@ -100,11 +100,20 @@ def create_train_state(
     cfg: OccNetConfig, rng: jax.Array, sample_batch: Dict[str, jax.Array],
 ) -> Tuple[OccNet, TrainState]:
     model = OccNet(cfg.model)
+    img = sample_batch["img"]
+    if img.dtype == jnp.uint8:
+        # --device-normalize loader: init against the padded float shapes
+        # the augmented step will feed the model
+        from occnet_tpu.data.pipeline import make_device_train_augmenter
+        norm = make_device_train_augmenter(cfg.data, distort=False)
+        init_fn = jax.jit(lambda r, i, e: model.init(
+            {"params": r}, norm(None, i), e))
+    else:
+        init_fn = jax.jit(lambda r, i, e: model.init({"params": r}, i, e))
     # jit the init: flax traces eagerly otherwise, dispatching thousands of
     # individual ops — ~30 ms + a remote compile EACH through the axon
     # tunnel (minutes-to-hours); one compiled program instead
-    variables = jax.jit(model.init)(
-        {"params": rng}, sample_batch["img"], sample_batch["ego2img"])
+    variables = init_fn(rng, img, sample_batch["ego2img"])
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     tx = make_optimizer(cfg, params)
@@ -115,15 +124,25 @@ def create_train_state(
 
 
 def make_train_step(cfg: OccNetConfig, model: OccNet):
-    """Returns the jittable (state, batch, rng) -> (state, metrics) step."""
+    """Returns the jittable (state, batch, rng) -> (state, metrics) step.
+
+    `batch["img"]` may be float32 (host-processed) or raw uint8 (the
+    `--device-normalize` loader): uint8 batches run the on-device
+    photometric-distortion + normalise + pad pipeline inside the step
+    (`data/pipeline.make_device_train_augmenter`), cutting train H2D image
+    traffic 4x."""
+    from occnet_tpu.data.pipeline import make_device_train_augmenter
+
     tx = None  # bound lazily against params structure on first call
+    augment = make_device_train_augmenter(cfg.data)
 
     def loss_fn(params, batch_stats, batch, rng):
         rngs = {"dropout": jax.random.fold_in(rng, 0),
                 "grid_mask": jax.random.fold_in(rng, 1)}
+        img = augment(jax.random.fold_in(rng, 2), batch["img"])
         outs, mutated = model.apply(
             {"params": params, "batch_stats": batch_stats},
-            batch["img"], batch["ego2img"],
+            img, batch["ego2img"],
             prev_bev=batch.get("prev_bev"),
             train=True, rngs=rngs, mutable=["batch_stats"])
         loss_occ, loss_flow = occ_flow_loss(

@@ -246,3 +246,63 @@ def test_lightwheel_concat_train_dataset(tmp_path):
     plain = build_train_dataset(
         dataclasses.replace(dcfg, extra_trainsets=()), training=False)
     assert not isinstance(plain, ConcatOccDataset) and len(plain) == 2
+
+
+def test_device_train_augmenter_matches_host_without_distortion():
+    """distort=False on uint8 == host normalize->pad bitwise, incl. a
+    divisor-unaligned height (the nuScenes 900 case, scaled down)."""
+    import dataclasses
+    import jax
+    from occnet_tpu.config import get_config
+    from occnet_tpu.data.pipeline import make_device_train_augmenter
+
+    cfg = get_config("tiny_occ").data
+    rng = np.random.RandomState(0)
+    imgs = rng.randint(0, 256, (2, 3, 57, 96, 3)).astype(np.uint8)
+    mean = np.asarray(cfg.img_mean, np.float32)
+    std = np.asarray(cfg.img_std, np.float32)
+    if not cfg.to_rgb:
+        mean, std = mean[::-1].copy(), std[::-1].copy()
+    host = np.stack([pad_to_divisor(normalize_img(s, mean, std), 32)
+                     for s in imgs])
+    aug = make_device_train_augmenter(cfg, size_divisor=32, distort=False)
+    dev = np.asarray(aug(None, jax.numpy.asarray(imgs)))
+    assert dev.shape == host.shape == (2, 3, 64, 96, 3)
+    np.testing.assert_array_equal(dev, host)
+    # float input passes through untouched
+    f = jax.numpy.asarray(host)
+    assert aug(None, f) is f
+
+
+def test_hsv_jax_matches_numpy():
+    from occnet_tpu.data.pipeline import _hsv_to_rgb_jax, _rgb_to_hsv_jax
+
+    rng = np.random.RandomState(1)
+    img = rng.rand(5, 7, 3).astype(np.float32) * 255.0
+    np.testing.assert_allclose(np.asarray(_rgb_to_hsv_jax(img)),
+                               _rgb_to_hsv(img), rtol=1e-5, atol=1e-3)
+    hsv = _rgb_to_hsv(img)
+    np.testing.assert_allclose(np.asarray(_hsv_to_rgb_jax(hsv)),
+                               _hsv_to_rgb(hsv), rtol=1e-5, atol=1e-3)
+
+
+def test_photometric_distortion_device_distribution():
+    """Each jitter branch fires for ~half the images across keys, and the
+    untouched-branch output round-trips the input (HSV-only error)."""
+    import jax
+    from occnet_tpu.data.pipeline import photometric_distortion_device
+
+    rng = np.random.RandomState(2)
+    imgs = rng.randint(0, 256, (32, 6, 8, 3)).astype(np.float32)
+    out = np.asarray(jax.jit(photometric_distortion_device)(
+        jax.random.PRNGKey(0), jax.numpy.asarray(imgs)))
+    assert out.shape == imgs.shape and np.isfinite(out).all()
+    # per-image max deviation; HSV round-trip alone is ~1e-3
+    dev = np.abs(out - imgs).reshape(32, -1).max(axis=1)
+    changed = (dev > 1.0).sum()
+    # each of ~6 p=0.5 gates can fire; P(untouched) ~ 3% per image
+    assert changed >= 24, f"implausible jitter rate: {changed}/32"
+    # deterministic in the key
+    out2 = np.asarray(jax.jit(photometric_distortion_device)(
+        jax.random.PRNGKey(0), jax.numpy.asarray(imgs)))
+    np.testing.assert_array_equal(out, out2)

@@ -194,3 +194,22 @@ def test_checkpoint_roundtrip(tmp_path, trained):
     a = jax.device_get(state.params["head"]["bev_embedding"])
     b = jax.device_get(restored.params["head"]["bev_embedding"])
     np.testing.assert_array_equal(a, b)
+
+
+def test_train_step_uint8_device_normalize():
+    """A raw-uint8 batch (--device-normalize loader) runs distortion +
+    normalise + pad inside the step and trains to a finite loss; init sees
+    the padded float shapes."""
+    cfg = small_cfg()
+    # divisor-unaligned height exercises the on-device pad (30 -> 32)
+    cfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, img_h=32, img_w=32))
+    batch = make_batch(cfg, 1)
+    rng = np.random.RandomState(3)
+    u8 = rng.randint(
+        0, 256, (1, cfg.model.num_cams, 30, 32, 3)).astype(np.uint8)
+    batch["img"] = jnp.asarray(u8)
+    model, state = create_train_state(cfg, jax.random.PRNGKey(0), batch)
+    step = jax.jit(make_train_step(cfg, model))
+    state, metrics = step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))

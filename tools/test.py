@@ -49,6 +49,12 @@ def parse_args():
                         "a contiguous shard of the val split (the "
                         "reference's 8-GPU dist_test.sh), metric counters "
                         "are all-gathered, rank 0 reports/merges")
+    p.add_argument("--msda-impl", default="auto",
+                   choices=("auto", "xla", "pallas"),
+                   help="deformable-sampling implementation for exact/gather "
+                        "mode: the fused Pallas kernel is ~1.6x faster than "
+                        "the XLA patch gather on TPU (auto = pallas on TPU "
+                        "backends, xla elsewhere)")
     p.add_argument("--set", nargs="*", default=[], metavar="KEY=VAL")
     return p.parse_args()
 
@@ -78,6 +84,12 @@ def main():
     proc, n_proc = parallel.process_shard()
 
     cfg = get_config(args.config)
+    impl = args.msda_impl
+    if impl == "auto":
+        impl = ("pallas" if jax.default_backend() in ("tpu", "axon")
+                else "xla")
+    cfg = apply_overrides(cfg, {"model.encoder.sca.msda_impl": impl,
+                                "model.encoder.tsa.msda_impl": impl})
     overrides = dict(kv.split("=", 1) for kv in args.set)
     if overrides:
         cfg = apply_overrides(cfg, overrides)

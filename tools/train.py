@@ -31,6 +31,10 @@ def parse_args():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--max-steps", type=int, default=None,
                    help="cap total steps (smoke runs)")
+    p.add_argument("--device-normalize", action="store_true",
+                   help="ship raw uint8 images to the device (4x less H2D) "
+                        "and run photometric distortion + normalisation + "
+                        "padding inside the jitted train step")
     p.add_argument("--synthetic-data", action="store_true",
                    help="train on random tensors (no dataset on disk)")
     p.add_argument("--log-interval", type=int, default=50)
@@ -119,9 +123,14 @@ def main():
     rng = np.random.RandomState(args.seed)
 
     temporal = args.temporal_queue and args.temporal_queue > 1
+    if temporal and args.device_normalize:
+        raise SystemExit("--device-normalize is not yet supported with "
+                         "--temporal-queue (the clip step has no on-device "
+                         "augmentation path); drop one of the flags")
     dataset = None
     if not args.synthetic_data:
-        dataset = build_train_dataset(cfg.data, training=True)
+        dataset = build_train_dataset(cfg.data, training=True,
+                                      device_normalize=args.device_normalize)
         if temporal:
             from occnet_tpu.data import ClipDataset, ConcatOccDataset
             bev_hw = (cfg.model.bev_h, cfg.model.bev_w)
