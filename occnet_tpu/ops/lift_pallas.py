@@ -198,28 +198,32 @@ def _pass1_bwd(pos, g_tmp, K):
 # fully live or fully dead — and the fully dead tail is skipped by the
 # existing block predication.  This is ROADMAP "order compaction": each
 # (cam, z, row) consumes exactly ONE of tmpA/tmpB, so compacted pass-1 does
-# half the dots and half the tmp writes of the uncompacted form.
+# half the dots of the uncompacted form.
+#
+# The permutation is applied to the per-zr LINE COEFFICIENTS inside
+# `_plane_positions` (a ZR-length gather, ~free) BEFORE the outer product
+# with the image axis — permuting the expanded (N_pad, ZR) position arrays
+# instead costs ~1.7 ms of XLA gather per array (measured), which ate most
+# of the compaction win in the first cut.
 # ---------------------------------------------------------------------------
 
 
-def _compact_perm(pos):
-    """pos (A, N_pad, 1, ZRp) -> (pos_compact, inv_fill (A, ZRp) int32).
+def _compact_order(live):
+    """live (ZR,) bool -> (perm, inv_fill) int32.
 
-    Per camera, stable-sorts the zr axis live-rows-first (a row is live when
-    any of its N positions has hat support).  `inv_fill[a, zr]` is the
-    compact row now holding original row zr; rows dead in this pass order
-    repeat the previous live row's index — consecutive equal block indices
-    make the pass-2 pipeline skip the re-fetch DMA for the unused slab."""
-    live = (pos[:, :, 0, :] > -2.0).any(axis=1)           # (A, ZRp)
-    perm = jnp.argsort(~live, axis=-1, stable=True)       # live-first
-    pos_c = jnp.take_along_axis(pos, perm[:, None, None, :], axis=3)
-    inv = jnp.argsort(perm, axis=-1).astype(jnp.int32)
+    ``perm`` stable-sorts zr rows live-first (compact row i holds original
+    row perm[i]); ``inv_fill[zr]`` is the compact row holding original row
+    zr, with dead rows repeating the previous live row's index —
+    consecutive equal block indices make the pass-2 pipeline skip the
+    re-fetch DMA for the unused slab."""
+    perm = jnp.argsort(~live, stable=True)                # live-first
+    inv = jnp.argsort(perm).astype(jnp.int32)
     # stable sort => inv is increasing over live rows, so a running max
     # forward-fills dead rows with the previous live index (rows before the
     # first live one read compact row 0; their weights are all zero)
     inv_fill = jax.lax.associative_scan(
-        jnp.maximum, jnp.where(live, inv, 0), axis=-1)
-    return pos_c, inv_fill
+        jnp.maximum, jnp.where(live, inv, 0))
+    return perm, inv_fill
 
 
 # ---------------------------------------------------------------------------
@@ -396,40 +400,41 @@ def _pass2_bwd(pos2A, pos2B, inv_count, g_pad, w, h, bev_h):
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
-def lift_level(feat, posA, posB, pos2A, pos2B, inv_count, ZR, bev_h,
-               out_dtype, hw):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12, 13))
+def lift_level(feat, posA_c, posB_c, invA, invB, posA, posB, pos2A, pos2B,
+               inv_count, ZR, bev_h, out_dtype, hw):
     """One FPN level, one batch element: camera-summed, count-normalised lift.
 
-    feat (A, h, w, C) bf16; posA (A, w_pad, 1, ZR_pad);
-    posB (A, h_pad, 1, ZR_pad); pos2A/pos2B (ZR_pad, A, M) (padded rows -2);
-    inv_count (bev_h, 1, M); hw = (h, w) static.  Returns (ZR, M, C).
+    feat (A, h, w, C) bf16; posA_c/posA (A, w_pad, 1, ZR_pad);
+    posB_c/posB (A, h_pad, 1, ZR_pad); invA/invB (A, ZR) int32 compact-row
+    maps; pos2A/pos2B (ZR_pad, A, M) (padded rows -2); inv_count
+    (bev_h, 1, M); hw = (h, w) static.  Returns (ZR, M, C).
 
-    Forward runs order-compacted: each camera's pass-1 rows are permuted
-    live-first (`_compact_perm`) so the dead-order half of pass-1 is a
-    predication-skipped tail, and pass-2 follows via scalar-prefetched row
-    indices.  The backward keeps the uncompacted formulation (it only needs
-    the original position residuals)."""
-    w_pad, h_pad = posA.shape[1], posB.shape[1]
+    Forward runs order-compacted: each camera's pass-1 rows arrive permuted
+    live-first (`_compact_order`, applied to the line coefficients in
+    `_plane_positions`) so the dead-order half of pass-1 is a
+    predication-skipped tail, and pass-2 routes rows via the
+    scalar-prefetched invA/invB maps.  The backward keeps the uncompacted
+    formulation and consumes the original-order posA/posB (dead in the
+    forward — XLA drops them in inference graphs)."""
+    w_pad, h_pad = posA_c.shape[1], posB_c.shape[1]
     featT = _pad_axis(jnp.swapaxes(feat, 1, 2), 1, w_pad, 0)  # (A,w_pad,h,C)
     featB = _pad_axis(feat, 1, h_pad, 0)                      # (A,h_pad,w,C)
-    posA_c, invA = _compact_perm(posA)
-    posB_c, invB = _compact_perm(posB)
     tmpA = _pass1(posA_c, featT)               # (ZR_pad, A, w_pad, C)
     tmpB = _pass1(posB_c, featB)               # (ZR_pad, A, h_pad, C)
     return _pass2_compact(pos2A, pos2B, inv_count, invA, invB, tmpA, tmpB,
                           ZR, bev_h, jnp.dtype(out_dtype))
 
 
-def _lift_level_fwd(feat, posA, posB, pos2A, pos2B, inv_count, ZR, bev_h,
-                    out_dtype, hw):
-    out = lift_level(feat, posA, posB, pos2A, pos2B, inv_count, ZR, bev_h,
-                     out_dtype, hw)
-    return out, (posA, posB, pos2A, pos2B, inv_count)
+def _lift_level_fwd(feat, posA_c, posB_c, invA, invB, posA, posB, pos2A,
+                    pos2B, inv_count, ZR, bev_h, out_dtype, hw):
+    out = lift_level(feat, posA_c, posB_c, invA, invB, posA, posB, pos2A,
+                     pos2B, inv_count, ZR, bev_h, out_dtype, hw)
+    return out, (invA, invB, posA, posB, pos2A, pos2B, inv_count)
 
 
 def _lift_level_bwd(ZR, bev_h, out_dtype, hw, res, g):
-    posA, posB, pos2A, pos2B, inv_count = res
+    invA, invB, posA, posB, pos2A, pos2B, inv_count = res
     h, w = hw
     w_pad, h_pad = posA.shape[1], posB.shape[1]
     ZRp = posA.shape[3]
@@ -441,8 +446,17 @@ def _lift_level_bwd(ZR, bev_h, out_dtype, hw, res, g):
     dfeatB = _pass1_bwd(posB, g_tmpB, w)            # (A, h_pad, w, C)
     dfeat = (jnp.swapaxes(dfeatT, 1, 2)[:, :, :w, :]
              + dfeatB[:, :h, :, :]).astype(jnp.bfloat16)
-    zeros = jnp.zeros_like
-    return (dfeat, zeros(posA), zeros(posB), zeros(pos2A), zeros(pos2B),
+
+    def zeros(x):
+        # int inputs (invA/invB) take float0 tangents per the custom_vjp
+        # contract; float inputs take ordinary zeros
+        if jnp.issubdtype(x.dtype, jnp.integer):
+            import numpy as np
+            return np.zeros(x.shape, jax.dtypes.float0)
+        return jnp.zeros_like(x)
+
+    return (dfeat, zeros(posA), zeros(posB), zeros(invA), zeros(invB),
+            zeros(posA), zeros(posB), zeros(pos2A), zeros(pos2B),
             zeros(inv_count))
 
 
@@ -459,8 +473,9 @@ def _plane_positions(Mz: jax.Array, bev_hw: Tuple[int, int], h: int, w: int,
     """Positions for one camera, all z planes.  Mz (Z, 3, 3) feature-pixel
     homographies.  Same geometry as `planar_lift.warp_level_multi_z`.
 
-    Returns posA (w, ZR), posB (h, ZR), pos2A (ZR, M), pos2B (ZR, M),
-    valid (Z, bev_h, bev_w)."""
+    Returns posA_c/posB_c ((w|h), ZR) in live-first compact zr order,
+    invA/invB (ZR,) int32 compact-row maps for pass 2, posA/posB in original
+    order (backward only), pos2A/pos2B (ZR, M), valid (Z, bev_h, bev_w)."""
     bev_h, bev_w = bev_hw
     Z = Mz.shape[0]
     f32 = jnp.float32
@@ -496,19 +511,29 @@ def _plane_positions(Mz: jax.Array, bev_hw: Tuple[int, int], h: int, w: int,
     a2 = -l1 / safe(l0)
     b2 = -l2 / safe(l0)
 
-    posA = _band_limit(a[None] * xs[:, None, None] + b[None], h)
-    posB = _band_limit(a2[None] * ygrid[:, None, None] + b2[None], w)
-
     # Row-level kills, exact because pass-2's weights are already zero for
     # these rows: each (z, row) uses exactly ONE pass order (steepness is a
     # line property, independent of the BEV column), and rows no query of
     # which is camera-visible are never read at all.  Killing them here
     # turns pass-1 columns dead so the kernel predication skips their dots.
     row_any = valid.any(axis=-1)                            # (Z, bev_h)
-    useA = (~steep & row_any)[None]                         # (1, Z, bev_h)
-    useB = (steep & row_any)[None]
-    posA = jnp.where(useA, posA, -2.0).reshape(w, Z * bev_h)
-    posB = jnp.where(useB, posB, -2.0).reshape(h, Z * bev_h)
+    ZR = Z * bev_h
+    liveA = (~steep & row_any).reshape(ZR)
+    liveB = (steep & row_any).reshape(ZR)
+    permA, invA = _compact_order(liveA)
+    permB, invB = _compact_order(liveB)
+
+    def _pos(ca, cb, ks, extent, live, perm=None):
+        ca, cb = ca.reshape(ZR), cb.reshape(ZR)
+        if perm is not None:
+            ca, cb, live = ca[perm], cb[perm], live[perm]
+        p = _band_limit(ca[None, :] * ks[:, None] + cb[None, :], extent)
+        return jnp.where(live[None, :], p, -2.0)            # (N, ZR)
+
+    posA_c = _pos(a, b, xs, h, liveA, permA)     # live-first compact order
+    posB_c = _pos(a2, b2, ygrid, w, liveB, permB)
+    posA = _pos(a, b, xs, h, liveA)              # original order (backward)
+    posB = _pos(a2, b2, ygrid, w, liveB)
 
     sel_a = valid & ~steep[..., None]
     sel_b = valid & steep[..., None]
@@ -516,7 +541,7 @@ def _plane_positions(Mz: jax.Array, bev_hw: Tuple[int, int], h: int, w: int,
         Z * bev_h, bev_w)
     pos2B = jnp.where(sel_b, _band_limit(yf, h), -2.0).reshape(
         Z * bev_h, bev_w)
-    return posA, posB, pos2A, pos2B, valid
+    return posA_c, posB_c, invA, invB, posA, posB, pos2A, pos2B, valid
 
 
 def lift_and_average_pallas(
@@ -553,13 +578,17 @@ def lift_and_average_pallas(
                          [0, h / img_h, -0.5],
                          [0, 0, 1.0]], jnp.float32)
         Ml = jnp.einsum("ij,bczjk->bczik", S, H)          # (B, A, Z, 3, 3)
-        posA, posB, pos2A, pos2B, valid = jax.vmap(jax.vmap(
-            lambda m: _plane_positions(m, bev_hw, h, w)))(Ml)
+        (posA_c, posB_c, invA, invB, posA, posB, pos2A, pos2B,
+         valid) = jax.vmap(jax.vmap(
+             lambda m: _plane_positions(m, bev_hw, h, w)))(Ml)
+
         # kernel layouts + padding (-2 -> empty hat support)
-        posA = _pad_axis(_pad_axis(posA, 2, w_pad, -2.0), 3, ZRp, -2.0)
-        posA = posA[:, :, :, None, :]                     # (B, A, w_pad,1,ZRp)
-        posB = _pad_axis(_pad_axis(posB, 2, h_pad, -2.0), 3, ZRp, -2.0)
-        posB = posB[:, :, :, None, :]
+        def _pos_pad(p, n_pad):                # (B, A, N, ZR) -> kernel form
+            p = _pad_axis(_pad_axis(p, 2, n_pad, -2.0), 3, ZRp, -2.0)
+            return p[:, :, :, None, :]         # (B, A, N_pad, 1, ZRp)
+
+        posA_c, posA = _pos_pad(posA_c, w_pad), _pos_pad(posA, w_pad)
+        posB_c, posB = _pos_pad(posB_c, h_pad), _pos_pad(posB, h_pad)
         pos2A = _pad_axis(jnp.swapaxes(pos2A, 1, 2), 1, ZRp, -2.0)
         pos2B = _pad_axis(jnp.swapaxes(pos2B, 1, 2), 1, ZRp, -2.0)
         if lvl == 0:
@@ -569,10 +598,11 @@ def lift_and_average_pallas(
             count = jnp.maximum(count, 1.0).reshape(B, Q)
             inv_count = (1.0 / count).reshape(B, bev_h, 1, bev_w)
         out = jax.vmap(
-            lambda f, pa, pb, p2a, p2b, ic: lift_level(
-                f.astype(jnp.bfloat16), pa, pb, p2a, p2b, ic,
-                ZR, bev_h, jnp.dtype(out_dtype).name, (h, w)))(
-            feat, posA, posB, pos2A, pos2B, inv_count)
+            lambda f, pac, pbc, ia, ib, pa, pb, p2a, p2b, ic: lift_level(
+                f.astype(jnp.bfloat16), pac, pbc, ia, ib, pa, pb, p2a, p2b,
+                ic, ZR, bev_h, jnp.dtype(out_dtype).name, (h, w)))(
+            feat, posA_c, posB_c, invA, invB, posA, posB, pos2A, pos2B,
+            inv_count)
         u_levels.append(out.reshape(B, num_z, Q, C))
     U_bar = jnp.stack(u_levels, axis=1).astype(out_dtype)
     return U_bar, count
