@@ -67,6 +67,7 @@ from occnet_tpu.ops.planar_lift import _band_limit, plane_homographies
 # best at base scale)
 _NB = int(os.environ.get("OCCNET_LIFT_NB", "8"))    # pass-1 image columns
 _ZRB = int(os.environ.get("OCCNET_LIFT_ZRB", "128"))  # pass-1 zr rows
+_WB = int(os.environ.get("OCCNET_LIFT_WB", "32"))   # pass-1 K-window rows
 
 
 def _interpret() -> bool:
@@ -149,6 +150,114 @@ def _pass1(pos, feat_kc):
     )(pos, feat_kc)
 
 
+def _block_window(pos, K: int):
+    """Per pass-1 block (a, n-block, zr-block): 8-aligned window base into
+    the K axis and a windowability flag.
+
+    A block is windowable when every live position's 2-tap hat stencil fits
+    in [base, base + _WB): live rows sorted by line slope make positions
+    near-monotonic across any zr block (all of a camera's (z, row) image
+    lines pass through one vanishing point — the projection of the BEV-x
+    direction, z-independent), so ~all live blocks qualify and pass-1's
+    dots contract over _WB rows instead of K."""
+    A, N, _, ZR = pos.shape
+    nb, zrb = min(_NB, N), min(_ZRB, ZR)
+    p = pos.reshape(A, N // nb, nb, ZR // zrb, zrb)
+    live = p > -2.0
+    pmin = jnp.min(jnp.where(live, p, jnp.inf), axis=(2, 4))
+    pmax = jnp.max(jnp.where(live, p, -jnp.inf), axis=(2, 4))
+    base = jnp.clip((jnp.floor(pmin).astype(jnp.int32) // 8) * 8,
+                    0, max(K - _WB, 0))
+    win = ((pmax <= base.astype(jnp.float32) + (_WB - 1))
+           & jnp.isfinite(pmin))
+    return base, win.astype(jnp.int32)          # (A, N/nb, ZR/zrb) each
+
+
+def _pass1w_kernel(base_ref, win_ref, zsel_ref, pos_ref, feat_ref, out_ref,
+                   *, trash):
+    # scalar-prefetched base/win/zsel (A, N/nb, ZR/zrb); pos (1, nb, 1,
+    # zrb); feat (1, nb, K, C); out (zrb, 1, nb, C)
+    a, n, z = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+    K = feat_ref.shape[2]
+    live = jnp.max(pos_ref[0]) > -2.0
+    base = base_ref[a, n, z]
+    win = win_ref[a, n, z] > 0
+    skipped = zsel_ref[a, n, z] == trash   # writing to the trash block
+
+    @pl.when(live & win)
+    def _():
+        b0 = base.astype(jnp.float32)
+        b8 = pl.multiple_of(base, 8)   # 8-aligned by _block_window
+        for j in range(feat_ref.shape[1]):
+            wt = _hat_t(pos_ref[0, j], _WB, k0=b0)        # (_WB, zrb)
+            out_ref[:, 0, j, :] = jax.lax.dot_general(
+                wt, feat_ref[0, j, pl.ds(b8, _WB), :],
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(out_ref.dtype)
+
+    @pl.when(live & ~win)
+    def _():
+        for j in range(feat_ref.shape[1]):
+            wt = _hat_t(pos_ref[0, j], K)                 # (K, zrb)
+            out_ref[:, 0, j, :] = jax.lax.dot_general(
+                wt, feat_ref[0, j], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(out_ref.dtype)
+
+    @pl.when(~live & ~skipped)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+
+def _pass1w(pos, feat_kc):
+    """`_pass1` with two block-level shortcuts (both driven by XLA-computed
+    scalar-prefetch tables):
+
+    - K-WINDOWED dots (K > _WB): slope-sorted compact rows make each
+      block's positions span ~_WB feature rows, so the contraction runs
+      over a dynamic _WB-slice instead of all K (`_block_window`).
+    - WRITE-SKIPPED dead tails: blocks whose positions are all -4 (every
+      row order-killed -> the tmp rows are never read by pass 2) route
+      their output-block index to one per-(a, n) TRASH block row, so a
+      contiguous dead run costs ONE block flush instead of one per z-block
+      — at base scale ~half of tmpA's zero-writes disappear.  Band-dead
+      blocks (-2) still write zeros: pass-2 border taps read them."""
+    A, N, K, C = feat_kc.shape
+    ZR = pos.shape[3]
+    nb, zrb = min(_NB, N), min(_ZRB, ZR)
+    nzb = ZR // zrb
+    base, win = _block_window(pos, K)
+    p = pos.reshape(A, N // nb, nb, ZR // zrb, zrb)
+    wskip = jnp.max(p, axis=(2, 4)) <= -3.0        # all order-killed
+    zidx = jax.lax.broadcasted_iota(jnp.int32, wskip.shape, 2)
+    zsel = jnp.where(wskip, nzb, zidx)             # (A, N/nb, ZR/zrb)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(A, N // nb, ZR // zrb),
+        in_specs=[
+            pl.BlockSpec((1, nb, 1, zrb),
+                         lambda a, n, z, bb, ww, zs: (a, n, 0, z),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nb, K, C),
+                         lambda a, n, z, bb, ww, zs: (a, n, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((zrb, 1, nb, C),
+                               lambda a, n, z, bb, ww, zs: (zs[a, n, z],
+                                                            a, n, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        functools.partial(_pass1w_kernel, trash=nzb),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((ZR + zrb, A, N, C), jnp.bfloat16),
+        interpret=_interpret(),
+    )(base, win, zsel, pos, feat_kc)
+    # the trash block row [ZR:] is garbage and never read: pass-2's compact
+    # row indices are < ZR by construction — hand the padded buffer on
+    # as-is (slicing would copy ~1 GB at level 0)
+    return out
+
+
 def _pass1_bwd_kernel(pos_ref, g_ref, out_ref):
     # pos (1, nb, 1, zrb); g (zrb, 1, nb, C); out (1, nb, K, C), accumulated
     # over the zr grid dimension (innermost; block index ignores it)
@@ -208,22 +317,29 @@ def _pass1_bwd(pos, g_tmp, K):
 # ---------------------------------------------------------------------------
 
 
-def _compact_order(live):
-    """live (ZR,) bool -> (perm, inv_fill) int32.
+def _compact_order(live, slope):
+    """live (ZR,) bool, slope (ZR,) f32 -> (perm, inv_fill) int32.
 
-    ``perm`` stable-sorts zr rows live-first (compact row i holds original
-    row perm[i]); ``inv_fill[zr]`` is the compact row holding original row
-    zr, with dead rows repeating the previous live row's index —
-    consecutive equal block indices make the pass-2 pipeline skip the
-    re-fetch DMA for the unused slab."""
-    perm = jnp.argsort(~live, stable=True)                # live-first
-    inv = jnp.argsort(perm).astype(jnp.int32)
-    # stable sort => inv is increasing over live rows, so a running max
-    # forward-fills dead rows with the previous live index (rows before the
-    # first live one read compact row 0; their weights are all zero)
-    inv_fill = jax.lax.associative_scan(
-        jnp.maximum, jnp.where(live, inv, 0))
-    return perm, inv_fill
+    ``perm`` sorts zr rows live-first with live rows ordered by LINE SLOPE
+    (compact row i holds original row perm[i]); ``inv_fill[zr]`` is the
+    compact row holding original row zr, with dead rows repeating the
+    previous live row's index — consecutive equal block indices make the
+    pass-2 pipeline skip the re-fetch DMA for the unused slab.
+
+    Slope order is what makes `_pass1w`'s K-windows tight: all of a
+    camera's lines pass (numerically almost) through one vanishing point,
+    so at every image column the position is monotone in the slope — any
+    zr block of live rows spans only ~(zrb / n_live) * K feature rows."""
+    key = jnp.where(live, slope, jnp.inf)                 # dead rows last
+    perm = jnp.argsort(key, stable=True)
+    inv_pos = jnp.argsort(perm).astype(jnp.int32)
+    # Dead rows' pass-2 weights are all zero (pos2 is -2 wherever the row
+    # is dead in this order), so they may read ANY in-range compact row;
+    # row 0 keeps dead runs on one block so the pipeline skips the
+    # re-fetch DMA.  (A running-max forward fill — the live-first-sort
+    # trick — would corrupt live mappings here: slope order is not
+    # monotone in the original index.)
+    return perm, jnp.where(live, inv_pos, 0)
 
 
 # ---------------------------------------------------------------------------
@@ -417,11 +533,14 @@ def lift_level(feat, posA_c, posB_c, invA, invB, posA, posB, pos2A, pos2B,
     scalar-prefetched invA/invB maps.  The backward keeps the uncompacted
     formulation and consumes the original-order posA/posB (dead in the
     forward — XLA drops them in inference graphs)."""
+    h, w = hw
     w_pad, h_pad = posA_c.shape[1], posB_c.shape[1]
     featT = _pad_axis(jnp.swapaxes(feat, 1, 2), 1, w_pad, 0)  # (A,w_pad,h,C)
     featB = _pad_axis(feat, 1, h_pad, 0)                      # (A,h_pad,w,C)
-    tmpA = _pass1(posA_c, featT)               # (ZR_pad, A, w_pad, C)
-    tmpB = _pass1(posB_c, featB)               # (ZR_pad, A, h_pad, C)
+    p1a = _pass1w if h > _WB else _pass1
+    p1b = _pass1w if w > _WB else _pass1
+    tmpA = p1a(posA_c, featT)                  # (ZR_pad, A, w_pad, C)
+    tmpB = p1b(posB_c, featB)                  # (ZR_pad, A, h_pad, C)
     return _pass2_compact(pos2A, pos2B, inv_count, invA, invB, tmpA, tmpB,
                           ZR, bev_h, jnp.dtype(out_dtype))
 
@@ -520,15 +639,19 @@ def _plane_positions(Mz: jax.Array, bev_hw: Tuple[int, int], h: int, w: int,
     ZR = Z * bev_h
     liveA = (~steep & row_any).reshape(ZR)
     liveB = (steep & row_any).reshape(ZR)
-    permA, invA = _compact_order(liveA)
-    permB, invB = _compact_order(liveB)
+    permA, invA = _compact_order(liveA, a.reshape(ZR))
+    permB, invB = _compact_order(liveB, a2.reshape(ZR))
 
     def _pos(ca, cb, ks, extent, live, perm=None):
+        # -4 marks ORDER-killed rows (pass-2 weights identically zero for
+        # every column -> the whole tmp row is unread, so pass-1 may skip
+        # even the zero-WRITE for all-(-4) blocks); band-dead columns of
+        # live rows stay -2 (their zeros are read at image borders).
         ca, cb = ca.reshape(ZR), cb.reshape(ZR)
         if perm is not None:
             ca, cb, live = ca[perm], cb[perm], live[perm]
         p = _band_limit(ca[None, :] * ks[:, None] + cb[None, :], extent)
-        return jnp.where(live[None, :], p, -2.0)            # (N, ZR)
+        return jnp.where(live[None, :], p, -4.0)            # (N, ZR)
 
     posA_c = _pos(a, b, xs, h, liveA, permA)     # live-first compact order
     posB_c = _pos(a2, b2, ygrid, w, liveB, permB)
@@ -582,9 +705,10 @@ def lift_and_average_pallas(
          valid) = jax.vmap(jax.vmap(
              lambda m: _plane_positions(m, bev_hw, h, w)))(Ml)
 
-        # kernel layouts + padding (-2 -> empty hat support)
+        # kernel layouts + padding (-2 -> empty hat support; zr-tail pad is
+        # -4 = order-killed so `_pass1w` may skip even the zero-writes)
         def _pos_pad(p, n_pad):                # (B, A, N, ZR) -> kernel form
-            p = _pad_axis(_pad_axis(p, 2, n_pad, -2.0), 3, ZRp, -2.0)
+            p = _pad_axis(_pad_axis(p, 2, n_pad, -2.0), 3, ZRp, -4.0)
             return p[:, :, :, None, :]         # (B, A, N_pad, 1, ZRp)
 
         posA_c, posA = _pos_pad(posA_c, w_pad), _pos_pad(posA, w_pad)
