@@ -66,6 +66,9 @@ class TSAConfig:
     # deformable-sampling implementation: "xla" = patch-table gather
     # (ops/msda.py), "pallas" = fused kernel (ops/msda_pallas.py)
     msda_impl: str = "xla"
+    # dense-mode tap-attention implementation (ops/tsa_pallas.py):
+    # "auto" = fused Pallas kernel on TPU / XLA shift loop elsewhere
+    tap_impl: str = "auto"
 
 
 @dataclass(frozen=True)

@@ -34,19 +34,7 @@ import jax.numpy as jnp
 
 from occnet_tpu.config import SCAConfig, TSAConfig
 from occnet_tpu.models.attention import xavier_uniform
-
-TSA_TAPS: Tuple[Tuple[int, int], ...] = tuple(
-    (dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1))
-
-
-def _shift2d(x: jax.Array, dy: int, dx: int) -> jax.Array:
-    """Zero-padded shift: out[y, x] = in[y - dy, x - dx]."""
-    h, w = x.shape[-3], x.shape[-2]
-    pads = [(0, 0)] * (x.ndim - 3) + [(1, 1), (1, 1), (0, 0)]
-    padded = jnp.pad(x, pads)
-    ys = 1 - dy
-    xs = 1 - dx
-    return padded[..., ys: ys + h, xs: xs + w, :]
+from occnet_tpu.ops.tsa_pallas import TSA_TAPS, _shift2d, tap_attention
 
 
 class DenseSpatialCrossAttention(nn.Module):
@@ -138,14 +126,12 @@ class DenseTemporalSelfAttention(nn.Module):
         attn = attn.astype(self.dtype)
 
         vgrid = value.reshape(B, nq, bh, bw, C)
-        out = jnp.zeros((B, Q, H, D), jnp.float32)
-        for t, (dy, dx) in enumerate(TSA_TAPS):
-            shifted = _shift2d(vgrid, dy, dx).reshape(B, nq, Q, H, D)
-            w_t = attn[:, :, :, :, t]                 # (B, Q, H, nq)
-            out = out + jnp.einsum(
-                "bnqhd,bqhn->bqhd", shifted, w_t,
-                preferred_element_type=jnp.float32)
-        out = (out / nq).reshape(B, Q, C).astype(self.dtype)
+        # (B, Q, H, nq, T) -> (B, bh, bw, nq, T, H) for the fused tap kernel
+        # (ops/tsa_pallas.py: one VMEM-resident pass over the value grids
+        # instead of 9 shift/einsum HBM round-trips)
+        attn6 = attn.transpose(0, 1, 3, 4, 2).reshape(B, bh, bw, nq, T, H)
+        out = tap_attention(vgrid, attn6, impl=self.cfg.tap_impl)
+        out = out.reshape(B, Q, C).astype(self.dtype)
 
         out = nn.Dense(self.embed_dims, dtype=self.dtype,
                        kernel_init=xavier_uniform, name="output_proj")(out)

@@ -13,6 +13,7 @@ import os
 from typing import Any, Optional, Tuple
 
 import jax
+import numpy as np
 import orbax.checkpoint as ocp
 
 from occnet_tpu.config import OccNetConfig
@@ -21,6 +22,50 @@ from occnet_tpu.training.train import TrainState
 
 def _config_json(cfg: OccNetConfig) -> str:
     return json.dumps(dataclasses.asdict(cfg), default=str)
+
+
+def _replicated_mesh():
+    from jax.sharding import Mesh
+    return Mesh(np.asarray(jax.devices()), ("all",))
+
+
+def _to_global(tree):
+    """Multi-process save support: orbax's save is a collective that rejects
+    host-local (single-device) jax.Arrays.  Model/optimizer state is replicated
+    across processes (DP), so lift any host-local leaf to a fully-replicated
+    global array over a trivial mesh; leaves that are already global (produced
+    by a jitted step over the global mesh) pass through untouched."""
+    if jax.process_count() == 1:
+        return tree
+    from jax.experimental import multihost_utils as mh
+    from jax.sharding import PartitionSpec
+
+    mesh = _replicated_mesh()
+
+    def go(x):
+        if isinstance(x, jax.Array) and x.is_fully_addressable:
+            return mh.host_local_array_to_global_array(
+                np.asarray(jax.device_get(x)), mesh, PartitionSpec())
+        return x
+
+    return jax.tree_util.tree_map(go, tree)
+
+
+def _global_target(tree):
+    """Multi-process restore target: abstract leaves with a fully-replicated
+    global sharding (each process reads the full array)."""
+    if jax.process_count() == 1:
+        return tree
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    sharding = NamedSharding(_replicated_mesh(), PartitionSpec())
+
+    def go(x):
+        if isinstance(x, jax.Array):
+            return jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=sharding)
+        return x
+
+    return jax.tree_util.tree_map(go, tree)
 
 
 class CheckpointManager:
@@ -38,12 +83,12 @@ class CheckpointManager:
         """Checkpoint asynchronously (orbax writes on background threads
         while training continues — the periodic-async-checkpoint design the
         reference lacks); pass block=True or call `wait` for a barrier."""
-        payload = {
+        payload = _to_global({
             "params": state.params,
             "batch_stats": state.batch_stats,
             "opt_state": state.opt_state,
             "step": state.step,
-        }
+        })
         args = ocp.args.Composite(
             state=ocp.args.StandardSave(payload),
             **({"meta": ocp.args.JsonSave({"config": _config_json(cfg)})}
@@ -62,12 +107,12 @@ class CheckpointManager:
         step = step if step is not None else self.mngr.latest_step()
         if step is None:
             raise FileNotFoundError(f"no checkpoint in {self.directory}")
-        target = {
+        target = _global_target({
             "params": state.params,
             "batch_stats": state.batch_stats,
             "opt_state": state.opt_state,
             "step": state.step,
-        }
+        })
         restored = self.mngr.restore(
             step, args=ocp.args.Composite(
                 state=ocp.args.StandardRestore(target)))["state"]

@@ -79,6 +79,49 @@ def main():
         assert set(load_submission(out)["results"]) == {
             "tok0", "tok1", "tok2", "tok3"}
 
+    if mode == "ckpt":
+        # --- collective orbax save/restore of a replicated TrainState -----
+        # Regression for the multi-process crash "Cannot serialize host
+        # local jax.Array in multi-host setting": host-local leaves must be
+        # lifted to global arrays before orbax's collective save
+        # (training/checkpoint.py::_to_global).
+        import dataclasses
+        import importlib.util
+        import jax.numpy as jnp
+        from occnet_tpu.config import get_config
+        from occnet_tpu.training import create_train_state
+        from occnet_tpu.training.checkpoint import CheckpointManager
+
+        cfg = get_config("tiny_turbo_occ")
+        model_cfg = dataclasses.replace(
+            cfg.model, img_h=32, img_w=32, bev_h=8, bev_w=8, pillar_h=2,
+            embed_dims=16, out_dim=4, num_cams=2, compute_dtype="float32",
+            encoder=dataclasses.replace(cfg.model.encoder, num_layers=1,
+                                        ffn_dim=32, num_points_in_pillar=2))
+        cfg = dataclasses.replace(cfg, model=model_cfg)
+        spec = importlib.util.spec_from_file_location(
+            "graft_entry", os.path.join(
+                os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                "__graft_entry__.py"))
+        ge = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(ge)
+        batch = ge._example_batch(cfg, batch_size=1)
+        _, state = create_train_state(cfg, jax.random.PRNGKey(0), batch)
+        ckpt_dir = os.path.join(sys.argv[4], "ckpts")
+        mngr = CheckpointManager(ckpt_dir)
+        mngr.save(7, state, cfg, block=True)
+        parallel.barrier("saved")
+        assert mngr.latest_step() == 7
+        restored = mngr.restore(state)
+        ref = jax.tree_util.tree_leaves(state.params)
+        got = jax.tree_util.tree_leaves(restored.params)
+        assert len(ref) == len(got)
+        for a, b in zip(ref, got):
+            np.testing.assert_array_equal(np.asarray(jax.device_get(a)),
+                                          np.asarray(jax.device_get(b)))
+        if proc == 0:
+            print("CKPT OK", flush=True)
+
     if mode == "qshard":
         # --- BEV-query (model-axis) sharded train step, EXECUTED ---------
         import dataclasses

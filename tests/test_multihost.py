@@ -82,6 +82,15 @@ def test_two_process_localhost(tmp_path):
     _run_two_process("basic", tmp_path, timeout=600)
 
 
+def test_two_process_checkpoint(tmp_path):
+    """Collective orbax save/restore of a replicated TrainState across 2
+    processes — regression for 'Cannot serialize host local jax.Array in
+    multi-host setting' (host-local leaves must be lifted to global arrays,
+    training/checkpoint.py::_to_global)."""
+    outs = _run_two_process("ckpt", tmp_path, timeout=1200)
+    assert "CKPT OK" in outs[0]
+
+
 def test_two_process_qshard(tmp_path):
     """EXECUTED BEV-query-sharded (model-axis) train step on a 2-process
     dp=2 x mp=2 mesh — the resharding collectives run through the

@@ -65,9 +65,30 @@ def main():
     def full_fn(v, img, e):
         return model.apply(v, img, e)
 
+    @jax.jit
+    def bev_fn(v, feats, e):
+        def go(m, feats, e):
+            h = m.head
+            bev_pos = h.positional_encoding(feats[0].shape[0])
+            return h.transformer.get_bev_features(
+                feats, h.bev_embedding, bev_pos, e)
+        return model.apply(v, feats, e, method=go)
+
+    bev = bev_fn(variables, mlvl, ego2img)
+
+    @jax.jit
+    def decode_fn(v, bev):
+        def go(m, bev):
+            t = m.head.transformer
+            vox = t.decode_voxels(bev)
+            return t.predicter(vox), t.flow_predicter(vox)
+        return model.apply(v, bev, method=go)
+
     cases = [
         ("backbone+neck", lambda: feats_fn(variables, img)),
         ("lift         ", lambda: lift_fn(variables, mlvl, ego2img)),
+        ("lift+encoder ", lambda: bev_fn(variables, mlvl, ego2img)),
+        ("decode+heads ", lambda: decode_fn(variables, bev)),
         ("full forward ", lambda: full_fn(variables, img, ego2img)),
     ]
     if args.train:
