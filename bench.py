@@ -7,9 +7,12 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 vs_baseline normalises against the BASELINE.json north star: >=2x an
 A100-class PyTorch reference.  The reference repo publishes no wall-clock
 numbers (docs/getting_started.md:50-52 is "TBD"), and no GPU exists in this
-environment to measure one, so the A100 figure is the documented estimate in
-BASELINE.md (A100_EST_FPS below): BEVFormer-base-class models run ~3 fps on
-A100; vs_baseline = tpu_fps / (2 * A100_EST_FPS) — i.e. 1.0 == the 2x target.
+environment to measure one.  The A100 figure below is calibrated against the
+published measurement closest to this exact workload: SparseOcc
+(arXiv 2312.17118, "Fully Sparse 3D Occupancy Prediction", Tab. 3) benches
+BEVFormer on the same nuScenes-occupancy task (6 cams, 900x1600) at
+**3.0 FPS on an A100** — matching the BEVFormer-lineage folklore range of
+2-3 fps.  vs_baseline = tpu_fps / (2 * A100_EST_FPS); 1.0 == the 2x target.
 """
 
 import json

@@ -123,8 +123,19 @@ class DecoderLayer(nn.Module):
 
 class DetectionTransformerDecoder(nn.Module):
     """Stacked decoder with per-layer sigmoid-space reference refinement
-    (`decoder.py:52-129`): new_ref = sigmoid(reg_branch(out)[..., :2] +
-    inverse_sigmoid(ref))."""
+    (`decoder.py:52-129`).
+
+    Two refinement modes, matching the reference's two call shapes:
+
+    - `reg_branches` given + 3D reference points (the `PerceptionTransformer`
+      box-refine path, `decoder.py:105-121`): the external per-layer
+      regression branch predicts a `code_size` box code and the reference is
+      refined as new_xy = code[..., :2] + inv_sigmoid(ref_xy),
+      new_z = code[..., 4:5] + inv_sigmoid(ref_z); deformable sampling always
+      uses ref[..., :2].
+    - no `reg_branches` (standalone use): an internal zero-init Dense(2)
+      refines the 2D reference directly.
+    """
     num_layers: int = 6
     embed_dims: int = 256
     num_heads: int = 8
@@ -134,7 +145,8 @@ class DetectionTransformerDecoder(nn.Module):
 
     @nn.compact
     def __call__(self, query, bev_value, query_pos, reference_points,
-                 spatial_shapes, *, deterministic: bool = True):
+                 spatial_shapes, *, reg_branches=None,
+                 deterministic: bool = True):
         inter_states = []
         inter_refs = []
         ref = reference_points
@@ -142,13 +154,20 @@ class DetectionTransformerDecoder(nn.Module):
             query = DecoderLayer(
                 self.embed_dims, self.num_heads, self.ffn_dim,
                 dtype=self.dtype, name=f"layer{lid}")(
-                query, bev_value, query_pos, ref, spatial_shapes,
+                query, bev_value, query_pos, ref[..., :2], spatial_shapes,
                 deterministic=deterministic)
-            delta = nn.Dense(2, dtype=jnp.float32,
-                             kernel_init=nn.initializers.zeros,
-                             name=f"ref_refine{lid}")(
-                query.astype(jnp.float32))
-            ref = jax.nn.sigmoid(delta + inverse_sigmoid(ref))
+            if reg_branches is not None:
+                assert ref.shape[-1] == 3, ref.shape
+                tmp = reg_branches[lid](query.astype(jnp.float32))
+                new_xy = tmp[..., :2] + inverse_sigmoid(ref[..., :2])
+                new_z = tmp[..., 4:5] + inverse_sigmoid(ref[..., 2:3])
+                ref = jax.nn.sigmoid(jnp.concatenate([new_xy, new_z], -1))
+            else:
+                delta = nn.Dense(2, dtype=jnp.float32,
+                                 kernel_init=nn.initializers.zeros,
+                                 name=f"ref_refine{lid}")(
+                    query.astype(jnp.float32))
+                ref = jax.nn.sigmoid(delta + inverse_sigmoid(ref))
             ref = jax.lax.stop_gradient(ref)
             inter_states.append(query)
             inter_refs.append(ref)
