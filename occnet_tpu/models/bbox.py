@@ -122,6 +122,44 @@ def hungarian_assign_3d(
     return assigned, labels
 
 
+def decode_layer_boxes(
+    codes: jax.Array,            # (..., Q, code_size>=8) reg-branch output
+    lvl: int,
+    init_reference: jax.Array,   # (..., Q, 3) sigmoid-space
+    inter_references: jax.Array,  # (L, ..., Q, 3) POST-refinement per layer
+    pc_range: Sequence[float],
+) -> jax.Array:
+    """Decode decoder-layer `lvl`'s box code against the reference that layer
+    SAW — the upstream BEVFormer detection-head convention for consuming the
+    `(inter_states, init_reference, inter_references)` tuple that
+    `PerceptionTransformer` returns (`modules/transformer.py:289`).
+
+    `DetectionTransformerDecoder.inter_references[lvl]` holds the
+    POST-refinement reference of layer `lvl` (matching the reference
+    decoder), so the correct pairing is `init_reference` for lvl 0 and
+    `inter_references[lvl - 1]` otherwise; pairing with
+    `inter_references[lvl]` double-refines the centres
+    (regression-tested in `tests/test_decoder.py`).
+
+    Returns codes with (cx, cy, cz) replaced by sigmoid-refined centres in
+    metres over `pc_range` — the layout `denormalize_bbox` /
+    `nms_free_decode` consume.
+    """
+    from occnet_tpu.models.decoder import inverse_sigmoid
+
+    ref = init_reference if lvl == 0 else inter_references[lvl - 1]
+    ref = inverse_sigmoid(ref.astype(jnp.float32))
+    codes = codes.astype(jnp.float32)
+    xy = jax.nn.sigmoid(codes[..., 0:2] + ref[..., 0:2])
+    z = jax.nn.sigmoid(codes[..., 4:5] + ref[..., 2:3])
+    pc = np.asarray(pc_range, np.float32)
+    cx = xy[..., 0:1] * (pc[3] - pc[0]) + pc[0]
+    cy = xy[..., 1:2] * (pc[4] - pc[1]) + pc[1]
+    cz = z * (pc[5] - pc[2]) + pc[2]
+    return jnp.concatenate([cx, cy, codes[..., 2:4], cz, codes[..., 5:]],
+                           axis=-1)
+
+
 @functools.partial(jax.jit, static_argnames=("max_num", "num_classes"))
 def _decode_topk(cls_scores, bbox_preds, max_num: int, num_classes: int):
     scores = jax.nn.sigmoid(cls_scores).reshape(-1)

@@ -135,6 +135,16 @@ class DetectionTransformerDecoder(nn.Module):
       uses ref[..., :2].
     - no `reg_branches` (standalone use): an internal zero-init Dense(2)
       refines the 2D reference directly.
+
+    Offset-by-one convention (matches the reference decoder, which a future
+    detection head MUST respect): `inter_references[lvl]` is the
+    POST-refinement reference of layer `lvl`, so when decoding layer `lvl`'s
+    box code the head must pair `reg_branches[lvl](inter_states[lvl])` with
+    the reference the layer SAW — `init_reference` for lvl 0, else
+    `inter_references[lvl - 1]` (the reference BEVFormerHead convention);
+    pairing with `inter_references[lvl]` double-refines the boxes.
+    `models/bbox.decode_layer_boxes` implements the correct pairing and is
+    regression-tested in `tests/test_decoder.py`.
     """
     num_layers: int = 6
     embed_dims: int = 256

@@ -85,6 +85,10 @@ def occ_flow_loss(
     l1 = jnp.abs(flow_pred.astype(jnp.float32) -
                  voxel_flow.astype(jnp.float32))
 
+    # Deviation (documented in ROADMAP.md): the reference's use_mask=True
+    # branch never assigns loss_flow (`bevformer_occ_head.py:184-190`, a
+    # latent UnboundLocalError — dead code, configs ship use_mask=False);
+    # this implements the evidently-intended masked flow L1.
     if loss_cfg.use_mask and mask_camera is not None:
         m = mask_camera.reshape(-1).astype(jnp.float32)
         denom = jnp.maximum(m.sum(), 1.0)

@@ -87,7 +87,10 @@ class PerceptionTransformer(nn.Module):
     use_shift: bool = True
     use_can_bus: bool = True
     can_bus_norm: bool = True
-    rotate_center: Tuple[float, float] = (100.0, 100.0)
+    # None -> the actual grid centre (bev_w/2, bev_h/2).  The reference
+    # hard-codes [100, 100] (`transformer.py:64`), correct only for its fixed
+    # 200x200 grid; set explicitly for strict parity at other sizes.
+    rotate_center: Optional[Tuple[float, float]] = None
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -157,6 +160,16 @@ class PerceptionTransformer(nn.Module):
             (b,) + self.bev_embedding.shape).astype(self.dtype)
         bev_pos = self.positional_encoding(b)
 
+        if (prev_bev is not None and can_bus is None
+                and (self.rotate_prev_bev or self.use_shift)):
+            # Silently skipping the alignment would feed an unrotated /
+            # unshifted prev map into temporal attention (ADVICE r2); the
+            # reference always has can_bus in img_metas so it cannot hit
+            # this state.
+            raise ValueError(
+                "prev_bev requires can_bus when rotate_prev_bev/use_shift "
+                "are enabled (pass can_bus, or disable both for "
+                "pre-aligned prev maps)")
         shift_ref_2d = None
         if can_bus is not None:
             cb = can_bus.astype(jnp.float32)
@@ -175,8 +188,10 @@ class PerceptionTransformer(nn.Module):
             if prev_bev is not None and self.rotate_prev_bev:
                 # ref :143-157: rotate each prev map by can_bus[-1] degrees
                 maps = prev_bev.reshape(b, c.bev_h, c.bev_w, c.embed_dims)
+                center = (self.rotate_center if self.rotate_center is not None
+                          else (c.bev_w / 2.0, c.bev_h / 2.0))
                 maps = jax.vmap(
-                    lambda m, a: rotate_bev(m, a, center=self.rotate_center)
+                    lambda m, a: rotate_bev(m, a, center=center)
                 )(maps, cb[:, -1])
                 prev_bev = maps.reshape(b, c.bev_h * c.bev_w, c.embed_dims)
             if self.use_can_bus:

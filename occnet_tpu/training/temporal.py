@@ -50,13 +50,22 @@ def align_prev_bev(
     prev_bev: jax.Array,          # (B, Q, C)
     rotation_deg: jax.Array,      # (B,) yaw delta per sample
     bev_hw: Tuple[int, int],
-    rotate_center: Tuple[float, float] = (100.0, 100.0),
+    rotate_center: Optional[Tuple[float, float]] = None,
     method: str = "nearest",
 ) -> jax.Array:
     """Rotate each sample's prev BEV about the grid centre
-    (`transformer_occ.py:195-205`)."""
+    (`transformer_occ.py:195-205`).
+
+    rotate_center defaults to the actual grid centre (w/2, h/2) — the
+    reference hard-codes (100, 100), which is only the centre of its fixed
+    200x200 grid; deriving it keeps smaller configs (tiny 50x50) correct
+    (ADVICE r2).  Pass it explicitly for strict reference parity at other
+    sizes.
+    """
     h, w = bev_hw
     b, q, c = prev_bev.shape
+    if rotate_center is None:
+        rotate_center = (w / 2.0, h / 2.0)
 
     def one(bev, ang):
         img = bev.reshape(h, w, c)

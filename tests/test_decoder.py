@@ -41,6 +41,56 @@ def test_detection_decoder_shapes_and_refinement():
     assert (np.asarray(refs) >= 0).all() and (np.asarray(refs) <= 1).all()
 
 
+def test_decode_layer_boxes_pairing_convention():
+    """inter_references[lvl] is the POST-refinement reference of layer lvl,
+    so decode_layer_boxes must pair layer lvl's code with init_reference /
+    inter_references[lvl-1]; the decoded sigmoid-space centre then equals
+    inter_references[lvl] exactly, while the (wrong) same-index pairing
+    double-refines (ADVICE r2)."""
+    from occnet_tpu.models.bbox import decode_layer_boxes
+    from occnet_tpu.models.perception import RegBranch
+
+    rng = np.random.RandomState(1)
+    B, Nq, C, L = 1, 12, 64, 3
+    pc_range = (-40.0, -40.0, -1.0, 40.0, 40.0, 5.4)
+    query = jnp.asarray(rng.randn(B, Nq, C), jnp.float32)
+    qpos = jnp.asarray(rng.randn(B, Nq, C), jnp.float32)
+    bev = jnp.asarray(rng.randn(B, 100, C), jnp.float32)
+    ref3 = jnp.asarray(rng.uniform(0.2, 0.8, (B, Nq, 3)), jnp.float32)
+
+    dec = DetectionTransformerDecoder(num_layers=L, embed_dims=C,
+                                      num_heads=4, ffn_dim=128)
+    branches = [RegBranch(C, 10, name=f"rb{i}") for i in range(L)]
+    # bind the branches standalone so the test can re-apply them per layer
+    bparams = [b.init(jax.random.PRNGKey(10 + i), query)
+               for i, b in enumerate(branches)]
+    bound = [lambda x, b=b, p=p: b.apply(p, x)
+             for b, p in zip(branches, bparams)]
+    params = dec.init(jax.random.PRNGKey(0), query, bev, qpos, ref3,
+                      [(10, 10)], reg_branches=bound)
+    states, refs = dec.apply(params, query, bev, qpos, ref3, [(10, 10)],
+                             reg_branches=bound)
+    assert refs.shape == (L, B, Nq, 3)
+
+    pc = np.asarray(pc_range, np.float32)
+    for lvl in range(L):
+        codes = bound[lvl](states[lvl])
+        decoded = np.asarray(decode_layer_boxes(
+            codes, lvl, ref3, refs, pc_range))
+        # decoded centre in sigmoid space == the decoder's post-refinement ref
+        want = np.asarray(refs[lvl])
+        got_xy = (decoded[..., 0:2] - pc[0:2]) / (pc[3:5] - pc[0:2])
+        got_z = (decoded[..., 4:5] - pc[2]) / (pc[5] - pc[2])
+        np.testing.assert_allclose(got_xy, want[..., 0:2], atol=1e-5)
+        np.testing.assert_allclose(got_z[..., 0], want[..., 2], atol=1e-5)
+    # the wrong pairing (same-index post-refinement ref) double-refines
+    codes0 = bound[0](states[0])
+    wrong = np.asarray(decode_layer_boxes(codes0, 1, ref3,
+                                          jnp.stack([refs[0]] * L), pc_range))
+    right = np.asarray(decode_layer_boxes(codes0, 0, ref3, refs, pc_range))
+    assert np.abs(wrong[..., :2] - right[..., :2]).max() > 1e-3
+
+
 def test_custom_msda_box_reference():
     rng = np.random.RandomState(0)
     B, Nq, C = 1, 8, 32
