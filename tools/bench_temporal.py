@@ -24,6 +24,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default="turbo_occ")
     ap.add_argument("--frames", type=int, default=10)
+    ap.add_argument("--breakdown", action="store_true",
+                    help="also time the single-frame graph and a standalone "
+                         "align/rotate jit to attribute the temporal "
+                         "overhead (align vs 2-queue TSA vs dispatch)")
     args = ap.parse_args()
 
     import jax
@@ -63,6 +67,32 @@ def main():
     dt = (time.perf_counter() - t0) / args.frames
     print(f"temporal streaming: {dt*1e3:.2f} ms/frame = {1/dt:.2f} fps",
           flush=True)
+
+    if args.breakdown:
+        import jax
+        from occnet_tpu.training.temporal import align_prev_bev
+
+        def timeit(fn, n=args.frames):
+            fn()  # warmup/compile
+            t = time.perf_counter()
+            for _ in range(n):
+                r = fn()
+            sync(r)
+            return (time.perf_counter() - t) / n
+
+        m = cfg.model
+        single = timeit(lambda: state._infer_single(
+            state.params, state.batch_stats, batch["img"],
+            batch["ego2img"])["occ"])
+        align = jax.jit(lambda b, a: align_prev_bev(
+            b, a, (m.bev_h, m.bev_w)))
+        prev = state.prev_bev
+        align_t = timeit(lambda: align(prev, jnp.asarray([1.0])))
+        print(f"breakdown: single-frame {single*1e3:.2f} ms; "
+              f"align/rotate alone {align_t*1e3:.2f} ms "
+              f"(incl ~30 ms dispatch); "
+              f"temporal - single = {(dt - single)*1e3:.2f} ms "
+              f"(2-queue TSA + fused align)", flush=True)
 
 
 if __name__ == "__main__":
