@@ -25,6 +25,7 @@ training uses the turbo encoder).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Sequence, Tuple
 
 import jax
@@ -52,7 +53,10 @@ def _interpret() -> bool:
 
 
 # max hw rows whose (hw, D<=32) f32 slice stays VMEM-resident double-buffered
-# (lane padding makes a row cost 128 lanes x 4 B regardless of D)
+# (lane padding makes a row cost 128 lanes x 4 B regardless of D).  bf16
+# values halve the row cost, doubling the budget — enough for the base-scale
+# level-0 map (116x200 = 23,200 rows), so a bf16 model runs every pyramid
+# level through the fused kernel with no XLA fallback.
 _VMEM_ROW_BUDGET = 14336
 
 
@@ -71,22 +75,75 @@ def _sample_level_xla(value_l, bt, w4, w: int):
     return (g * w4[..., None]).sum(axis=(2, 3))
 
 
-def _level_kernel(P: int, blkq: int):
-    def kernel(bt_ref, bb_ref, w_ref, val_ref, out_ref):
+def _level_kernel(P: int, blkq: int, w: int, unroll: int = 4):
+    """Two-slab kernel: per sample, rows (y, x..x+1) and (y+1, x..x+1) are
+    fetched as two 2-row dynamic slabs and weighted with 4 scalar FMAs.  The
+    bottom base is computed in-kernel (bt + w), saving an SMEM stream, and
+    `unroll` queries share one loop iteration.
+
+    Measured alternatives that LOST to this form at base-scale shapes (v5e):
+    a corner-packed `[v, roll(v,-w)]` table with one (2, 2D) load/sample
+    (1.68 s vs 1.23 s in-model — the kernel is VPU-issue-bound on the
+    (2, 2D) one-hot weighting, not load-bound) and the bf16 16-row aligned
+    kernel (2.23 s, see _level_kernel_aligned)."""
+    def kernel(bt_ref, w_ref, val_ref, out_ref):
         D = out_ref.shape[-1]
 
-        def body(q, _):
-            acc = jnp.zeros((1, D), jnp.float32)
+        def one(q):
+            # two independent accumulator chains (top-row vs bottom-row
+            # corners) halve the serial FMA dependency depth per query
+            acc_t = jnp.zeros((1, D), jnp.float32)
+            acc_b = jnp.zeros((1, D), jnp.float32)
             for p in range(P):
                 i = q * P + p
-                top = val_ref[0, pl.ds(bt_ref[i], 2), :]
-                bot = val_ref[0, pl.ds(bb_ref[i], 2), :]
-                acc = (acc
-                       + w_ref[4 * i] * top[0:1, :]
-                       + w_ref[4 * i + 1] * top[1:2, :]
-                       + w_ref[4 * i + 2] * bot[0:1, :]
-                       + w_ref[4 * i + 3] * bot[1:2, :])
-            out_ref[q, :] = acc[0]
+                bt = bt_ref[i]
+                top = val_ref[0, pl.ds(bt, 2), :]
+                bot = val_ref[0, pl.ds(bt + w, 2), :]
+                acc_t = (acc_t + w_ref[4 * i] * top[0:1, :]
+                         + w_ref[4 * i + 1] * top[1:2, :])
+                acc_b = (acc_b + w_ref[4 * i + 2] * bot[0:1, :]
+                         + w_ref[4 * i + 3] * bot[1:2, :])
+            out_ref[q, :] = acc_t[0] + acc_b[0]
+
+        def body(qu, _):
+            for u in range(unroll):
+                one(qu * unroll + u)
+            return 0
+
+        jax.lax.fori_loop(0, blkq // unroll, body, 0)
+
+    return kernel
+
+
+def _level_kernel_aligned(P: int, blkq: int):
+    """bf16 variant: Mosaic requires dynamic sublane offsets on (16, 128)-
+    tiled bf16 to be provable multiples of 8, so each 2-row slab is fetched
+    as an 8-aligned 16-row block and the two live rows are selected with a
+    one-hot sublane weight vector.  The weighted blocks accumulate into a
+    (16, D) register tile; the cross-sublane reduction happens ONCE per
+    query, outside the P-sample loop."""
+    def kernel(bt_ref, bb_ref, w_ref, val_ref, out_ref):
+        D = out_ref.shape[-1]
+        iota = jax.lax.broadcasted_iota(jnp.int32, (16, D), 0)
+
+        def body(q, _):
+            acc = jnp.zeros((16, D), jnp.float32)
+            for p in range(P):
+                i = q * P + p
+                bt = bt_ref[i]
+                bb = bb_ref[i]
+                at = pl.multiple_of((bt // 8) * 8, 8)
+                ab = pl.multiple_of((bb // 8) * 8, 8)
+                top = val_ref[0, pl.ds(at, 16), :].astype(jnp.float32)
+                bot = val_ref[0, pl.ds(ab, 16), :].astype(jnp.float32)
+                rt = bt - at
+                rb = bb - ab
+                wt = (jnp.where(iota == rt, w_ref[4 * i], 0.0)
+                      + jnp.where(iota == rt + 1, w_ref[4 * i + 1], 0.0))
+                wb = (jnp.where(iota == rb, w_ref[4 * i + 2], 0.0)
+                      + jnp.where(iota == rb + 1, w_ref[4 * i + 3], 0.0))
+                acc = acc + top * wt + bot * wb
+            out_ref[q, :] = jnp.sum(acc, axis=0)
             return 0
 
         jax.lax.fori_loop(0, blkq, body, 0)
@@ -94,8 +151,90 @@ def _level_kernel(P: int, blkq: int):
     return kernel
 
 
-def _sample_level(value_l, bt, bb, w4, P: int):
-    """value_l (BH, hw, D) f32; bt/bb (BH, Qp, P) int32 slab bases;
+def _level_kernel_banded(P: int, blkq: int, lo: int, hi: int, w: int):
+    """f32 band kernel for levels too large for full VMEM residency: the
+    value block holds rows [lo, lo + Rb) and only samples whose slab base
+    falls in [lo, hi) load-and-accumulate (pl.when skips the rest), so the
+    total load count across bands equals the single-band kernel's.  The
+    accumulator lives in a VMEM scratch because the guarded adds are
+    stateful."""
+    def kernel(bt_ref, bb_ref, w_ref, val_ref, out_ref, acc_ref):
+        D = out_ref.shape[-1]
+
+        def body(q, _):
+            acc_ref[0, :] = jnp.zeros((D,), jnp.float32)
+            for p in range(P):
+                i = q * P + p
+                bt = bt_ref[i]
+
+                @pl.when((bt >= lo) & (bt < hi))
+                def _():
+                    rel = bt - lo
+                    top = val_ref[0, pl.ds(rel, 2), :]
+                    bot = val_ref[0, pl.ds(rel + w, 2), :]
+                    acc_ref[0, :] += (w_ref[4 * i] * top[0, :]
+                                      + w_ref[4 * i + 1] * top[1, :]
+                                      + w_ref[4 * i + 2] * bot[0, :]
+                                      + w_ref[4 * i + 3] * bot[1, :])
+            out_ref[q, :] = acc_ref[0, :]
+            return 0
+
+        jax.lax.fori_loop(0, blkq, body, 0)
+
+    return kernel
+
+
+def _sample_level_banded(value_l, bt, bb, w4, P: int, w: int):
+    """Row-banded fused sampling for levels whose (hw, D) f32 slice exceeds
+    the VMEM budget (base-scale level 0 is 23,200 rows): split the row space
+    into bands of `payload` slab bases, run the band kernel per band with a
+    [lo, lo + budget) value window, and sum the partial outputs.  Slab bases
+    never exceed hw - w - 2 (`_packed_axis_weights` clamps), so `nb` bands
+    of payload = budget - w - 2 rows cover every sample exactly once."""
+    BH, hw, D = value_l.shape
+    Qp = bt.shape[1]
+    BLKQ = _blkq(P)
+    nq = Qp // BLKQ
+    Rb = _VMEM_ROW_BUDGET
+    payload = Rb - w - 2
+    base_max = hw - w - 2
+    nb = -(-(base_max + 1) // payload)
+    pad_to = (nb - 1) * payload + Rb
+    value_l = jnp.pad(value_l, ((0, 0), (0, pad_to - hw), (0, 0)))
+
+    btf = bt.reshape(-1)
+    bbf = bb.reshape(-1)
+    w4f = w4.reshape(-1)
+    out = None
+    for k in range(nb):
+        lo = k * payload
+        hi = min(lo + payload, base_max + 1)
+        band_val = jax.lax.slice_in_dim(value_l, lo, lo + Rb, axis=1)
+        part = pl.pallas_call(
+            _level_kernel_banded(P, BLKQ, lo, hi, w),
+            out_shape=jax.ShapeDtypeStruct((BH * Qp, D), jnp.float32),
+            grid=(BH * nq,),
+            in_specs=[
+                pl.BlockSpec((BLKQ * P,), lambda i: (i,),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((BLKQ * P,), lambda i: (i,),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((BLKQ * P * 4,), lambda i: (i,),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, Rb, D), lambda i: (i // nq, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((BLKQ, D), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.VMEM((1, D), jnp.float32)],
+            interpret=_interpret(),
+        )(btf, bbf, w4f, band_val)
+        out = part if out is None else out + part
+    return out.reshape(BH, Qp, D)
+
+
+def _sample_level(value_l, bt, bb, w4, P: int, w: int):
+    """value_l (BH, hw, D); bt/bb (BH, Qp, P) int32 slab bases;
     w4 (BH, Qp, P, 4) f32 combined corner weights -> (BH, Qp, D) f32.
 
     Flat 1-D grid over (BH x query-blocks): Mosaic requires SMEM blocks to
@@ -105,24 +244,40 @@ def _sample_level(value_l, bt, bb, w4, P: int):
     Qp = bt.shape[1]
     BLKQ = _blkq(P)
     nq = Qp // BLKQ
+    if value_l.dtype == jnp.bfloat16:
+        # aligned-block kernel: pad rows so the 16-row fetch at the largest
+        # 8-aligned base (max slab base is hw - w - 2) stays in bounds
+        kernel = _level_kernel_aligned(P, BLKQ)
+        hw_pad = -(-(hw + 16) // 16) * 16
+        value_l = jnp.pad(value_l, ((0, 0), (0, hw_pad - hw), (0, 0)))
+        hw = hw_pad
+        args = (bt.reshape(-1), bb.reshape(-1), w4.reshape(-1), value_l)
+        n_scalar = 3
+        width = D
+    else:
+        kernel = _level_kernel(P, BLKQ, w)
+        value_l = value_l.astype(jnp.float32)
+        args = (bt.reshape(-1), w4.reshape(-1), value_l)
+        n_scalar = 2
+        width = D
+    scalar_specs = [
+        pl.BlockSpec((BLKQ * P,), lambda i: (i,), memory_space=pltpu.SMEM),
+        pl.BlockSpec((BLKQ * P,), lambda i: (i,), memory_space=pltpu.SMEM),
+        pl.BlockSpec((BLKQ * P * 4,), lambda i: (i,),
+                     memory_space=pltpu.SMEM),
+    ][3 - n_scalar:]
     out = pl.pallas_call(
-        _level_kernel(P, BLKQ),
+        kernel,
         out_shape=jax.ShapeDtypeStruct((BH * Qp, D), jnp.float32),
         grid=(BH * nq,),
-        in_specs=[
-            pl.BlockSpec((BLKQ * P,), lambda i: (i,),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((BLKQ * P,), lambda i: (i,),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((BLKQ * P * 4,), lambda i: (i,),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, hw, D), lambda i: (i // nq, 0, 0),
+        in_specs=scalar_specs + [
+            pl.BlockSpec((1, hw, width), lambda i: (i // nq, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((BLKQ, D), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         interpret=_interpret(),
-    )(bt.reshape(-1), bb.reshape(-1), w4.reshape(-1), value_l)
+    )(*args)
     return out.reshape(BH, Qp, D)
 
 
@@ -137,7 +292,17 @@ def _forward(value, spatial_shapes, sampling_locations, attention_weights):
 
     BH = B * H
     value_hm = jnp.transpose(value, (0, 2, 1, 3)).reshape(BH, V, D)
-    value_hm = value_hm.astype(jnp.float32)
+    # bf16 VMEM residency (opt-in): lossless for a bf16 model and doubles the
+    # row budget so even level 0 fuses — but Mosaic's 8-row alignment rule
+    # for bf16 forces 16-row fetches + one-hot row selection
+    # (_level_kernel_aligned), measured ~1.5x slower per sample than the f32
+    # 2-row kernel; in-model the f32 kernel + XLA level-0 mix wins, so f32
+    # stays the default.
+    use_bf16 = (value.dtype == jnp.bfloat16
+                and os.environ.get("OCCNET_MSDA_BF16_VMEM") == "1")
+    kern_dtype = jnp.bfloat16 if use_bf16 else jnp.float32
+    row_budget = _VMEM_ROW_BUDGET * (4 // jnp.dtype(kern_dtype).itemsize)
+    value_hm = value_hm.astype(kern_dtype)
     loc_hm = jnp.transpose(sampling_locations, (0, 2, 1, 3, 4, 5)).reshape(
         BH, Q, L, P, 2).astype(jnp.float32)
     attn_hm = jnp.transpose(attention_weights, (0, 2, 1, 3, 4)).reshape(
@@ -167,12 +332,18 @@ def _forward(value, spatial_shapes, sampling_locations, attention_weights):
         a = attn_hm[:, :, lvl]
         w4 = jnp.stack([wy0 * wx0, wy0 * wx1, wy1 * wx0, wy1 * wx1],
                        axis=-1) * a[..., None]           # (BH, Qp, P, 4)
-        if h * w > _VMEM_ROW_BUDGET:
-            # level too big for VMEM residency (the (hw, 32) f32 slice pads
-            # to 128 lanes): use the patch-table XLA gather for this level
-            out = out + _sample_level_xla(value_l, bt, w4, w)
+        if h * w > row_budget:
+            # level too big for full VMEM residency (the (hw, 32) slice pads
+            # to 128 lanes): row-banded kernel (default) or patch-table XLA
+            # gather for this level
+            if os.environ.get("OCCNET_MSDA_LEVEL0", "xla") == "banded":
+                out = out + _sample_level_banded(
+                    value_l.astype(jnp.float32), bt, bb, w4, P, w)
+            else:
+                out = out + _sample_level_xla(value_l.astype(jnp.float32),
+                                              bt, w4, w)
         else:
-            out = out + _sample_level(value_l, bt, bb, w4, P)
+            out = out + _sample_level(value_l, bt, bb, w4, P, w)
 
     out = out[:, :Q]
     out = jnp.transpose(out.reshape(B, H, Q, D), (0, 2, 1, 3))

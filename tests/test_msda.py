@@ -160,3 +160,37 @@ def test_pallas_kernel_matches_oracle_and_grads():
     for a, b, name in zip(g1, g2, ("value", "loc", "weights")):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=3e-4, rtol=2e-4, err_msg=name)
+
+
+def test_pallas_banded_level_matches_oracle(monkeypatch):
+    """The row-banded kernel for over-budget levels (base-scale level 0) ==
+    the torch oracle: shrink the VMEM row budget so every test level runs
+    multi-band, covering band-boundary slabs and the pl.when skip logic."""
+    import occnet_tpu.ops.msda_pallas as mp
+
+    monkeypatch.setattr(mp, "_VMEM_ROW_BUDGET", 48)
+    value, shapes, loc, w = make_inputs(seed=7, B=1, H=2, D=8, Q=70, P=4,
+                                        shapes=((9, 13), (8, 9)))
+    got = mp.multi_scale_deformable_attention_pallas(
+        jnp.asarray(value), shapes, jnp.asarray(loc), jnp.asarray(w))
+    want = torch_msda_oracle(
+        torch.from_numpy(value), shapes, torch.from_numpy(loc),
+        torch.from_numpy(w)).numpy()
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-5, rtol=1e-5)
+
+
+def test_pallas_bf16_aligned_kernel_matches_xla(monkeypatch):
+    """The opt-in bf16 VMEM-resident kernel (8-aligned 16-row fetch + one-hot
+    sublane selection) == the XLA formulation on bf16 values."""
+    import occnet_tpu.ops.msda_pallas as mp
+
+    monkeypatch.setenv("OCCNET_MSDA_BF16_VMEM", "1")
+    value, shapes, loc, w = make_inputs(seed=9, B=1, H=2, D=8, Q=70, P=4)
+    v16 = jnp.asarray(value, jnp.bfloat16)
+    got = mp.multi_scale_deformable_attention_pallas(
+        v16, shapes, jnp.asarray(loc), jnp.asarray(w))
+    want = multi_scale_deformable_attention(
+        v16, shapes, jnp.asarray(loc), jnp.asarray(w))
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        atol=6e-3, rtol=6e-3)

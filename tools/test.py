@@ -49,6 +49,20 @@ def parse_args():
                         "a contiguous shard of the val split (the "
                         "reference's 8-GPU dist_test.sh), metric counters "
                         "are all-gathered, rank 0 reports/merges")
+    p.add_argument("--no-auto-topk", dest="auto_topk", action="store_false",
+                   help="disable calibration-derived SCA top-K: by default "
+                        "gather-mode eval projects the BEV grid through the "
+                        "first sample's cameras and sizes "
+                        "max_queries_per_cam to the actual visible-query "
+                        "bound (+2%% margin, rounded up to 1024) — the rig "
+                        "is constant per dataset, and the overflow "
+                        "certificate still aborts if any frame exceeds it")
+    p.add_argument("--allow-topk-overflow", action="store_true",
+                   help="downgrade a nonzero sca_topk_overflow count to a "
+                        "warning (default: abort — overflow means gather-"
+                        "mode results are NOT exact reference semantics; "
+                        "raise model.encoder.sca.max_queries_per_cam "
+                        "instead)")
     p.add_argument("--msda-impl", default="auto",
                    choices=("auto", "xla", "pallas"),
                    help="deformable-sampling implementation for exact/gather "
@@ -115,6 +129,32 @@ def main():
     batch = {k: jnp.asarray(v) for k, v in sample.items() if k != "tokens"}
     # init wants the float padded shape; _norm is identity on host-floats
     batch["img"] = _norm(batch["img"])
+
+    m = cfg.model
+    Q = m.bev_h * m.bev_w
+    if (m.encoder.mode == "gather" and args.auto_topk
+            and 0 < m.encoder.sca.max_queries_per_cam < Q):
+        # Calibration-derived top-K (the TPU analogue of the reference's
+        # dynamic per-camera max_len, spatial_cross_attention.py:141): the
+        # camera rig is fixed per dataset, so the visible-query bound from
+        # one frame + margin sizes the static compaction; exactness is still
+        # certified per batch by the sca_topk_overflow hard failure.
+        from occnet_tpu.geometry import (
+            bev_reference_points_3d, project_bev_points_to_cameras)
+        ref3d = bev_reference_points_3d(
+            m.bev_h, m.bev_w, m.pc_range[5] - m.pc_range[2],
+            m.encoder.num_points_in_pillar)
+        _, bev_mask = project_bev_points_to_cameras(
+            ref3d, m.pc_range, batch["ego2img"], (m.img_h, m.img_w))
+        max_vis = int((np.asarray(bev_mask).sum(-1) > 0).sum(-1).max())
+        k_auto = min(Q, -(-int(max_vis * 1.02) // 1024) * 1024)
+        if k_auto != m.encoder.sca.max_queries_per_cam:
+            cfg = apply_overrides(
+                cfg, {"model.encoder.sca.max_queries_per_cam": k_auto})
+            if proc == 0:
+                print(f"auto top-K: max visible {max_vis}/cam -> "
+                      f"max_queries_per_cam={k_auto} "
+                      f"(was {m.encoder.sca.max_queries_per_cam})")
     model, state = create_train_state(cfg, jax.random.PRNGKey(0), batch)
     if args.torch_checkpoint:
         import torch
@@ -232,9 +272,14 @@ def main():
     pending.clear()
     overflow = int(jax.device_get(overflow))
     if overflow > 0:
-        print(f"WARNING: sca_topk_overflow={overflow} — top-K camera "
-              "compaction dropped visible BEV queries; results are NOT "
-              "exact for this config (raise model.max_queries_per_cam)")
+        msg = (f"sca_topk_overflow={overflow} — top-K camera compaction "
+               "dropped visible BEV queries; results are NOT exact for "
+               "this config (raise model.encoder.sca.max_queries_per_cam)")
+        if args.allow_topk_overflow:
+            print("WARNING: " + msg)
+        else:
+            raise RuntimeError(msg + " — pass --allow-topk-overflow to "
+                               "score anyway")
 
     if args.eval:
         if n_proc > 1:
