@@ -198,6 +198,7 @@ def test_train_cli_temporal_queue(tmp_path):
     clips from the on-disk miniset.  Runs in a 2-virtual-device subprocess
     (global batch 2) — the in-process 8-device mesh makes an 8-clip batch,
     far too heavy for this 1-core host."""
+    import json
     import subprocess
 
     root = str(tmp_path / "data")
@@ -226,3 +227,11 @@ def test_train_cli_temporal_queue(tmp_path):
     assert r.returncode == 0, r.stderr[-3000:] + r.stdout[-1000:]
     logs = [f for f in os.listdir(work) if f.startswith("train_")]
     assert logs
+    # the structured metric stream (TensorBoard-hook equivalent) logged the
+    # step with the scalar set the reference's logger hooks carry
+    with open(os.path.join(work, "metrics.jsonl")) as f:
+        events = [json.loads(line) for line in f]
+    assert events and events[-1]["tag"] == "train"
+    for key in ("loss", "loss_occ", "loss_flow", "grad_norm", "lr",
+                "s_per_it"):
+        assert np.isfinite(events[-1][key]), key

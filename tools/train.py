@@ -38,6 +38,11 @@ def parse_args():
     p.add_argument("--synthetic-data", action="store_true",
                    help="train on random tensors (no dataset on disk)")
     p.add_argument("--log-interval", type=int, default=50)
+    p.add_argument("--profile", type=int, default=0, metavar="N",
+                   help="capture a jax.profiler trace of N steps (after a "
+                        "2-step warmup) into <work-dir>/trace — view with "
+                        "TensorBoard/xprof (the reference's commented-out "
+                        "profiler hook, apis/mmdet_train.py:146-149)")
     p.add_argument("--ckpt-interval-epochs", type=int, default=1)
     p.add_argument("--eval-interval-epochs", type=int, default=0,
                    help="run ray-metric evaluation on the val split every N "
@@ -202,12 +207,31 @@ def main():
 
     from occnet_tpu.data.loader import PrefetchLoader
 
+    # structured metric stream (the TensorBoard-hook equivalent,
+    # default_runtime.py:6-11): one JSON line per logged step
+    from occnet_tpu.utils.events import JsonlWriter
+    from occnet_tpu.utils.profiling import device_sync, trace
+    events = (JsonlWriter(os.path.join(work_dir, "metrics.jsonl"))
+              if proc == 0 else None)
+
+    import contextlib
+    profiler = contextlib.ExitStack()
+
     step0 = int(state.step)
+    profile_start = step0 + 2 if args.profile else None
     epoch_len = cfg.optim.steps_per_epoch
     t_start = time.time()
     loader_iter = None
     loader_epoch = -1
     for step in range(step0, total_steps):
+        if profile_start is not None and step == profile_start:
+            device_sync(state.params)   # trace only the profiled steps
+            profiler.enter_context(trace(os.path.join(work_dir, "trace")))
+        if profile_start is not None and step == profile_start + args.profile:
+            device_sync(state.params)
+            profiler.close()
+            log.info("profiler trace (%d steps) written to %s",
+                     args.profile, os.path.join(work_dir, "trace"))
         if dataset is not None:
             epoch = step // epoch_len
             if epoch != loader_epoch or loader_iter is None:
@@ -236,6 +260,8 @@ def main():
                      "gnorm %.2f lr %.2e  %.2fs/it",
                      step, total_steps, m["loss"], m["loss_occ"],
                      m["loss_flow"], m["grad_norm"], m["lr"], dt)
+            if events is not None:
+                events.write(step, s_per_it=dt, **m)
         if (step + 1) % (epoch_len * args.ckpt_interval_epochs) == 0 or \
                 step == total_steps - 1:
             # async: orbax writes on background threads; the final-step save
@@ -249,9 +275,14 @@ def main():
             val = NuSceneOccDataset(
                 cfg.data, os.path.join(cfg.data.data_root, cfg.data.val_ann),
                 training=False)
-            run_evaluation(cfg, model, state.params, state.batch_stats, val,
-                           log=log.info)
+            scores = run_evaluation(cfg, model, state.params,
+                                    state.batch_stats, val, log=log.info)
+            if events is not None:
+                events.write(step + 1, tag="eval", **scores)
+    profiler.close()
     ckpt.wait()
+    if events is not None:
+        events.close()
     log.info("done: %d steps", total_steps - step0)
 
 
