@@ -104,6 +104,22 @@ def main():
             return m
         cases.append(("train step   ", train_case))
 
+    flops = {
+        "backbone+neck": lambda: feats_fn.lower(variables, img),
+        "lift+encoder ": lambda: bev_fn.lower(variables, mlvl, ego2img),
+        "decode+heads ": lambda: decode_fn.lower(variables, bev),
+        "full forward ": lambda: full_fn.lower(variables, img, ego2img),
+    }
+
+    def stage_flops(name):
+        try:
+            an = flops[name]().compile().cost_analysis()
+            if isinstance(an, list):
+                an = an[0]
+            return float(an.get("flops", 0.0))
+        except Exception:  # noqa: BLE001 — cost analysis is best-effort
+            return 0.0
+
     for name, f in cases:
         try:
             sync(f())
@@ -115,7 +131,12 @@ def main():
             o = f()
         sync(o)
         dt = (time.perf_counter() - t0) / args.iters
-        print(f"{name}: {dt*1e3:8.2f} ms", flush=True)
+        # achieved TF/s vs the ~20 TF/s narrow-dim MXU ceiling measured on
+        # this chip (BASELINE.md) — the honest MFU denominator for <=256-wide
+        # contractions, not the 8k-matmul peak
+        fl = stage_flops(name) if name in flops else 0.0
+        tfs = f"  ({fl / dt / 1e12:5.2f} TF/s vs ~20 ceiling)" if fl else ""
+        print(f"{name}: {dt*1e3:8.2f} ms{tfs}", flush=True)
 
 
 if __name__ == "__main__":
