@@ -121,3 +121,31 @@ def compose_ego2img(lidar2img: jax.Array, ego2lidar: jax.Array) -> jax.Array:
         ego2lidar.astype(jnp.float32),
         preferred_element_type=jnp.float32,
     )
+
+
+def calibration_topk(
+    model_cfg,
+    ego2img: jax.Array,      # (B, cams, 4, 4) for one representative frame
+    margin: float = 1.02,
+    multiple: int = 1024,
+) -> int:
+    """Calibration-derived SCA top-K: project the BEV pillar grid through one
+    frame's cameras and size `max_queries_per_cam` to the worst per-camera
+    visible-query count (+margin, rounded up to `multiple`, capped at Q).
+
+    The TPU analogue of the reference's dynamic per-camera `max_len`
+    (`spatial_cross_attention.py:141`): the camera rig is constant per
+    dataset, so one frame bounds them all up to calibration drift — and the
+    `sca_topk_overflow` certificate still hard-fails eval if any frame ever
+    exceeds the chosen K (tools/test.py).
+    """
+    m = model_cfg
+    q = m.bev_h * m.bev_w
+    ref3d = bev_reference_points_3d(
+        m.bev_h, m.bev_w, m.pc_range[5] - m.pc_range[2],
+        m.encoder.num_points_in_pillar)
+    _, bev_mask = project_bev_points_to_cameras(
+        ref3d, m.pc_range, ego2img, (m.img_h, m.img_w))
+    import numpy as np
+    max_vis = int((np.asarray(bev_mask).sum(-1) > 0).sum(-1).max())
+    return min(q, -(-int(max_vis * margin) // multiple) * multiple)

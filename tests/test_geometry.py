@@ -99,3 +99,24 @@ def test_projection_matches_oracle():
     np.testing.assert_allclose(np.asarray(got_ref)[got_mask],
                                want_ref[want_mask], atol=1e-4)
     assert got_mask.any(), "test geometry should have some visible points"
+
+
+def test_calibration_topk():
+    """calibration_topk sizes K to the worst per-camera visible count
+    (+2%, 1024-rounded, capped at Q) for a representative frame."""
+    import jax.numpy as jnp
+    from occnet_tpu.config import get_config
+    from occnet_tpu.geometry import calibration_topk
+    from tools.train import make_synthetic_batch
+
+    cfg = get_config("base_occ")
+    rng = np.random.RandomState(0)
+    batch = make_synthetic_batch(cfg, 1, rng)
+    k = calibration_topk(cfg.model, jnp.asarray(batch["ego2img"]))
+    # the synthetic ring rig sees 9,929-9,999 queries per camera
+    assert k == 10240
+    # degenerate rig (all cameras see nothing finite): never exceeds Q and
+    # stays a positive multiple of 1024
+    k0 = calibration_topk(cfg.model, jnp.zeros_like(
+        jnp.asarray(batch["ego2img"])))
+    assert 0 <= k0 <= cfg.model.bev_h * cfg.model.bev_w and k0 % 1024 == 0

@@ -131,30 +131,20 @@ def main():
     batch["img"] = _norm(batch["img"])
 
     m = cfg.model
-    Q = m.bev_h * m.bev_w
     if (m.encoder.mode == "gather" and args.auto_topk
-            and 0 < m.encoder.sca.max_queries_per_cam < Q):
-        # Calibration-derived top-K (the TPU analogue of the reference's
-        # dynamic per-camera max_len, spatial_cross_attention.py:141): the
-        # camera rig is fixed per dataset, so the visible-query bound from
-        # one frame + margin sizes the static compaction; exactness is still
-        # certified per batch by the sca_topk_overflow hard failure.
-        from occnet_tpu.geometry import (
-            bev_reference_points_3d, project_bev_points_to_cameras)
-        ref3d = bev_reference_points_3d(
-            m.bev_h, m.bev_w, m.pc_range[5] - m.pc_range[2],
-            m.encoder.num_points_in_pillar)
-        _, bev_mask = project_bev_points_to_cameras(
-            ref3d, m.pc_range, batch["ego2img"], (m.img_h, m.img_w))
-        max_vis = int((np.asarray(bev_mask).sum(-1) > 0).sum(-1).max())
-        k_auto = min(Q, -(-int(max_vis * 1.02) // 1024) * 1024)
+            and 0 < m.encoder.sca.max_queries_per_cam < m.bev_h * m.bev_w):
+        # Calibration-derived top-K: the rig is fixed per dataset, so one
+        # frame's projection bounds the compaction; the sca_topk_overflow
+        # hard failure below still catches any frame that exceeds it.
+        from occnet_tpu.geometry import calibration_topk
+        k_auto = calibration_topk(m, batch["ego2img"])
         if k_auto != m.encoder.sca.max_queries_per_cam:
             cfg = apply_overrides(
                 cfg, {"model.encoder.sca.max_queries_per_cam": k_auto})
             if proc == 0:
-                print(f"auto top-K: max visible {max_vis}/cam -> "
-                      f"max_queries_per_cam={k_auto} "
-                      f"(was {m.encoder.sca.max_queries_per_cam})")
+                print(f"auto top-K: max_queries_per_cam={k_auto} "
+                      f"(was {m.encoder.sca.max_queries_per_cam}; "
+                      "--no-auto-topk pins the configured value)")
     model, state = create_train_state(cfg, jax.random.PRNGKey(0), batch)
     if args.torch_checkpoint:
         import torch
