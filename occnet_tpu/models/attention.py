@@ -66,8 +66,10 @@ class MSDeformableAttention3D(nn.Module):
     num_levels: int = 4
     num_points: int = 8
     # query-chunked sampling bounds peak gather memory (the XLA analogue of
-    # the CUDA kernel's im2col_step); 0 = unchunked
-    query_chunk: int = 8000
+    # the CUDA kernel's im2col_step; non-dividing sizes snap to a divisor of
+    # Q, and the chunk scan body is rematerialised so the BACKWARD peak is
+    # also one chunk); 0 = unchunked
+    query_chunk: int = 4096
     # "xla" patch-table gather | "pallas" fused kernel
     msda_impl: str = "xla"
     dtype: jnp.dtype = jnp.float32

@@ -161,12 +161,24 @@ def multi_scale_deformable_attention(
             out = out + (g * cw[..., None]).sum(axis=(2, 3))
         return out
 
-    if query_chunk and Q > query_chunk and Q % query_chunk == 0:
-        n_chunks = Q // query_chunk
+    if query_chunk and Q > query_chunk:
+        # snap to the smallest chunk count >= Q/query_chunk that divides Q —
+        # a non-dividing query_chunk used to fall back to UNCHUNKED silently,
+        # which at base-scale training shapes (Q=12288, chunk 8000) blew the
+        # per-layer gather temporaries to 6 GB each and OOMed the backward
+        n_chunks = -(-Q // query_chunk)
+        while Q % n_chunks:
+            n_chunks += 1
+        query_chunk = Q // n_chunks
 
         def body(_, inputs):
             loc, attn = inputs
-            return None, compute(loc, attn)
+            # remat: without it lax.scan STACKS each chunk's gather
+            # residuals for the backward, so chunking would bound the
+            # forward peak but not the backward (the actual base-scale OOM);
+            # recomputing the chunk gather in the bwd costs ~1 extra gather
+            # pass and caps live temporaries at one chunk
+            return None, jax.checkpoint(compute)(loc, attn)
 
         loc_chunks = loc_hm.reshape(
             B * H, n_chunks, query_chunk, L, P, 2).swapaxes(0, 1)

@@ -365,9 +365,12 @@ def _fwd(value, spatial_shapes, sampling_locations, attention_weights):
 
 def _bwd(spatial_shapes, residuals, g):
     value, loc, attn = residuals
+    # query-chunked + rematerialised: the delegated XLA backward would
+    # otherwise materialise the full (BH, Q*P, 4D) gather temporaries per
+    # layer and OOM at base-scale training shapes
     _, vjp = jax.vjp(
         lambda v, l, a: multi_scale_deformable_attention(
-            v, spatial_shapes, l, a), value, loc, attn)
+            v, spatial_shapes, l, a, query_chunk=4096), value, loc, attn)
     return vjp(g)
 
 

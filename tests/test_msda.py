@@ -73,6 +73,13 @@ def test_msda_chunked_matches_unchunked():
         chunk_size=16)
     np.testing.assert_allclose(np.asarray(full), np.asarray(chunked),
                                atol=1e-6)
+    # non-dividing chunk sizes snap to a dividing one instead of silently
+    # running unchunked (the base-scale Q=12288 / chunk-8000 OOM, r3)
+    snapped = multi_scale_deformable_attention_chunked(
+        jnp.asarray(value), shapes, jnp.asarray(loc), jnp.asarray(w),
+        chunk_size=39)
+    np.testing.assert_allclose(np.asarray(full), np.asarray(snapped),
+                               atol=1e-6)
 
 
 def test_bilinear_sample_exact_centres():
