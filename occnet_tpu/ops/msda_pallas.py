@@ -86,6 +86,8 @@ def _level_kernel(P: int, blkq: int, w: int, unroll: int = 4):
     (1.68 s vs 1.23 s in-model — the kernel is VPU-issue-bound on the
     (2, 2D) one-hot weighting, not load-bound) and the bf16 16-row aligned
     kernel (2.23 s, see _level_kernel_aligned)."""
+    unroll = min(unroll, blkq)   # blkq is a power of two, so this divides
+
     def kernel(bt_ref, w_ref, val_ref, out_ref):
         D = out_ref.shape[-1]
 
