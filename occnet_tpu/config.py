@@ -40,6 +40,12 @@ class BackboneConfig:
     # Per-stage DCNv2 (mmdet `stage_with_dcn`); R101-DCN lineage config uses
     # (False, False, True, True).
     dcn_stages: Tuple[bool, ...] = (False, False, False, False)
+    # DCN sampling path: "gather" (exact at any offset) or "window" (dense
+    # shift-window Pallas kernel, ops/dcn_window.py — exact whenever
+    # floor(offset) stays within +/-dcn_window_radius, certified per batch
+    # via the `dcn_window_overflow` intermediate).
+    dcn_mode: str = "gather"
+    dcn_window_radius: int = 3
     # VoVNet variant spec name (used when type == "vovnet").
     vovnet_spec: str = "V-99-eSE"
 
@@ -289,10 +295,13 @@ def r101_dcn_occ() -> OccNetConfig:
 
 
 def turbo_r101_dcn_occ() -> OccNetConfig:
-    """R101-DCN backbone with the dense TPU-native encoder."""
+    """R101-DCN backbone with the dense TPU-native encoder and the dense
+    window-kernel DCN path (certified-exact while offsets stay within the
+    window; `tools/test.py` hard-fails on a nonzero certificate)."""
     cfg = r101_dcn_occ()
     model = dataclasses.replace(
         cfg.model,
+        backbone=dataclasses.replace(cfg.model.backbone, dcn_mode="window"),
         encoder=dataclasses.replace(cfg.model.encoder, mode="dense"))
     return dataclasses.replace(cfg, model=model)
 

@@ -42,8 +42,10 @@ class OccNet(nn.Module):
             self.backbone = ResNet(
                 depth=depth, out_indices=c.backbone.out_indices,
                 frozen_stages=c.backbone.frozen_stages,
-                dcn_stages=c.backbone.dcn_stages, dtype=self.dtype,
-                name="backbone")
+                dcn_stages=c.backbone.dcn_stages,
+                dcn_mode=c.backbone.dcn_mode,
+                dcn_window_radius=c.backbone.dcn_window_radius,
+                dtype=self.dtype, name="backbone")
         # FPN channels are coupled to the transformer width (the reference's
         # `_dim_` ties them, config :36,61).
         self.neck = FPN(out_channels=c.embed_dims,

@@ -57,6 +57,8 @@ class Bottleneck(nn.Module):
     mid: int
     stride: int = 1
     dcn: bool = False
+    dcn_mode: str = "gather"
+    dcn_window_radius: int = 3
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -73,6 +75,8 @@ class Bottleneck(nn.Module):
         if self.dcn:
             from occnet_tpu.ops.deform_conv import ModulatedDeformConv
             y = ModulatedDeformConv(self.mid, kernel=3, stride=self.stride,
+                                    mode=self.dcn_mode,
+                                    window_radius=self.dcn_window_radius,
                                     dtype=self.dtype, name="conv2")(y)
         else:
             y = conv(self.mid, 3, self.stride, "conv2")(y)
@@ -96,6 +100,10 @@ class ResNet(nn.Module):
     # per-stage DCNv2 switch (mmdet `stage_with_dcn`), e.g. R101-DCN uses
     # (False, False, True, True)
     dcn_stages: Tuple[bool, ...] = (False, False, False, False)
+    # DCN sampling path: "gather" (exact, any shape) or "window" (dense
+    # shift-window Pallas kernel with an exactness certificate)
+    dcn_mode: str = "gather"
+    dcn_window_radius: int = 3
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -120,7 +128,10 @@ class ResNet(nn.Module):
             for b in range(n_blocks):
                 stride = 2 if (b == 0 and stage > 0) else 1
                 x = Bottleneck(mid, stride=stride,
-                               dcn=self.dcn_stages[stage], dtype=self.dtype,
+                               dcn=self.dcn_stages[stage],
+                               dcn_mode=self.dcn_mode,
+                               dcn_window_radius=self.dcn_window_radius,
+                               dtype=self.dtype,
                                name=f"layer{stage + 1}_{b}")(x)
             if stage + 1 <= self.frozen_stages:
                 x = jax.lax.stop_gradient(x)

@@ -7,11 +7,14 @@ occ configs ship R50, but the lineage's R101-DCN config enables
 
 Formulation: a regular conv predicts per-output-pixel offsets (and a sigmoid
 modulation mask); each of the kh*kw taps is bilinearly sampled at its offset
-position (`ops/msda.bilinear_sample`, grid_sample zero-padding semantics) and
-the modulated samples contract against the conv weight on the MXU.  The
-sampling is a gather (~ho*wo*K rows per call) — on TPU this is the documented
-slow-but-exact path, mirroring how the exact deformable-attention mode is the
-parity path (see README "two encoder modes").
+position (packed corner-table gather, `ops/msda.bilinear_sample_packed`,
+grid_sample zero-padding semantics) and the modulated samples contract
+against the conv weight on the MXU.  The sampling is a gather (~ho*wo*K rows
+per call) — the exact-at-any-offset path, mirroring how the exact
+deformable-attention mode is the parity path (see README "two encoder
+modes").  The fast path is the gather-free separable shift-window Pallas
+kernel in `ops/dcn_window.py` (mode="window" on the module below), exact
+under its per-batch overflow certificate.
 
 Offset channel layout follows mmcv: for tap k, channels (2k, 2k+1) = (dy, dx),
 mask channel k after all offsets — so converted torch checkpoints drop in.
@@ -25,7 +28,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from occnet_tpu.ops.msda import bilinear_sample
+from occnet_tpu.ops.msda import bilinear_sample, bilinear_sample_packed
 
 
 def modulated_deform_conv(
@@ -64,7 +67,12 @@ def modulated_deform_conv(
     loc = loc.reshape(B, 1, ho * wo * K, 2)
 
     value = x.reshape(B, 1, h * w, Cin)
-    sampled = bilinear_sample(value, h, w, loc)          # (B, 1, N, Cin)
+    # packed-table gather: ONE row per (pixel, tap) sample instead of four —
+    # gathers cost per row on this platform (BASELINE.md), and the DCN
+    # offset-window sampling is all gather rows (ho*wo*K per image per call,
+    # 23 calls/frame on the R101-DCN stage-3 trunk)
+    sample = bilinear_sample_packed if (h >= 2 and w >= 2) else bilinear_sample
+    sampled = sample(value, h, w, loc)                   # (B, 1, N, Cin)
     sampled = sampled.reshape(B, ho * wo, K, Cin)
     if mask is not None:
         sampled = sampled * mask.reshape(B, ho * wo, K, 1).astype(
@@ -82,12 +90,22 @@ def modulated_deform_conv(
 class ModulatedDeformConv(nn.Module):
     """DCNv2 layer: conv_offset (zero-init regular conv -> 2K offsets + K
     mask logits) + deformable 3x3 conv, mmcv-compatible parameter layout
-    (`conv_offset` weights convert from `ModulatedDeformConv2dPack`)."""
+    (`conv_offset` weights convert from `ModulatedDeformConv2dPack`).
+
+    mode "gather" = the XLA packed-table sampling above (any stride /
+    dilation / kernel); mode "window" = the dense shift-window Pallas
+    kernel (`ops/dcn_window.py`) for the stride-1 dilation-1 3x3 layers
+    (24 of the 26 R101-DCN blocks — the stage-entry stride-2 blocks keep
+    the gather path), sowing its `dcn_window_overflow` exactness
+    certificate as an intermediate (collected by `tools/test.py` exactly
+    like `sca_topk_overflow`)."""
     features: int
     kernel: int = 3
     stride: int = 1
     dilation: int = 1
     use_bias: bool = False
+    mode: str = "gather"             # "gather" | "window"
+    window_radius: int = 3
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -107,6 +125,16 @@ class ModulatedDeformConv(nn.Module):
             (self.kernel, self.kernel, x.shape[-1], self.features))
         bias = (self.param("bias", nn.initializers.zeros, (self.features,))
                 if self.use_bias else None)
+        if self.mode == "window":
+            from occnet_tpu.ops.dcn_window import (
+                modulated_deform_conv_window, window_supported)
+            if window_supported(x.shape[2], self.kernel, self.stride,
+                                self.dilation):
+                out, overflow = modulated_deform_conv_window(
+                    x, off, mask, weight.astype(self.dtype), bias,
+                    radius=self.window_radius)
+                self.sow("intermediates", "dcn_window_overflow", overflow)
+                return out
         return modulated_deform_conv(
             x, off, mask, weight.astype(self.dtype), bias,
             stride=self.stride, dilation=self.dilation)

@@ -71,6 +71,46 @@ def bilinear_sample(
     return out
 
 
+def bilinear_sample_packed(
+    value: jax.Array,       # (B, H, h*w, D)  per-level value, head-major
+    h: int,
+    w: int,
+    loc: jax.Array,         # (B, H, N, 2)    normalised [0,1] xy sample points
+) -> jax.Array:             # (B, H, N, D)
+    """`bilinear_sample` with ONE gather row per sample instead of four.
+
+    The four bilinear corner rows are packed into a 4*D-wide row of a
+    shifted-copy patch table (three rolls; see module docstring — gathers
+    cost per ROW on this platform, independent of width), and the per-axis
+    weights are border-clamp remapped by `_packed_axis_weights`, which
+    preserves grid_sample(padding_mode='zeros') semantics exactly.  Used by
+    the DCNv2 offset-window sampling (`ops/deform_conv.py`), whose cost is
+    all gather rows.  Requires h >= 2 and w >= 2 (the packed window spans
+    two cells per axis)."""
+    assert h >= 2 and w >= 2, "packed window needs >= 2 cells per axis"
+    loc = loc.astype(jnp.float32)
+    x = loc[..., 0] * w - 0.5
+    y = loc[..., 1] * h - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    bx, wx0, wx1 = _packed_axis_weights(x0.astype(jnp.int32), x - x0, w)
+    by, wy0, wy1 = _packed_axis_weights(y0.astype(jnp.int32), y - y0, h)
+    idx = by * w + bx                                   # (B, H, N)
+    # packed row i = [v[i], v[i+1], v[i+w], v[i+w+1]]; the wrapped tail
+    # entries of the rolls are never gathered (idx <= hw - w - 2)
+    table = jnp.concatenate(
+        [value, jnp.roll(value, -1, axis=2), jnp.roll(value, -w, axis=2),
+         jnp.roll(value, -(w + 1), axis=2)], axis=-1)   # (B, H, hw, 4D)
+    g = jnp.take_along_axis(table, idx[..., None], axis=2)
+    D = value.shape[-1]
+    g = g.reshape(*idx.shape, 4, D)
+    w4 = jnp.stack([wy0 * wx0, wy0 * wx1, wy1 * wx0, wy1 * wx1],
+                   axis=-1)                             # (B, H, N, 4)
+    # multiply+sum (not dot_general) — see the layout-bug note below
+    out = (g.astype(jnp.float32) * w4[..., None]).sum(axis=-2)
+    return out.astype(value.dtype)
+
+
 def _packed_axis_weights(c0: jax.Array, t: jax.Array, extent: int):
     """Remap one axis of the bilinear stencil onto the clipped 2-cell window.
 

@@ -1,0 +1,134 @@
+"""Dense window-kernel DCNv2 vs the gather formulation: values, gradients,
+overflow certificate semantics, and out-of-image zeroing."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from occnet_tpu.ops.dcn_window import (
+    _sampled_gather,
+    _sampled_window,
+    modulated_deform_conv_window,
+)
+from occnet_tpu.ops.deform_conv import modulated_deform_conv
+
+
+def _rand_case(seed, B=2, h=7, w=9, Cin=4, Cout=5, off_scale=1.5):
+    rng = np.random.RandomState(seed)
+    x = rng.randn(B, h, w, Cin).astype(np.float32)
+    offset = (rng.randn(B, h, w, 18) * off_scale).astype(np.float32)
+    mask = rng.rand(B, h, w, 9).astype(np.float32)
+    weight = rng.randn(3, 3, Cin, Cout).astype(np.float32)
+    return x, offset, mask, weight
+
+
+def test_window_matches_gather_when_in_window():
+    x, offset, mask, weight = _rand_case(0)
+    # keep floor(off) within [-R, R] for R=3
+    offset = np.clip(offset, -2.9, 2.9)
+    got, overflow = modulated_deform_conv_window(
+        jnp.asarray(x), jnp.asarray(offset), jnp.asarray(mask),
+        jnp.asarray(weight), radius=3)
+    want = modulated_deform_conv(
+        jnp.asarray(x), jnp.asarray(offset), jnp.asarray(mask),
+        jnp.asarray(weight))
+    assert int(overflow) == 0
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_window_no_mask_matches_gather():
+    x, offset, _, weight = _rand_case(1)
+    offset = np.clip(offset, -1.9, 1.9)
+    got, overflow = modulated_deform_conv_window(
+        jnp.asarray(x), jnp.asarray(offset), None,
+        jnp.asarray(weight), radius=2)
+    want = modulated_deform_conv(
+        jnp.asarray(x), jnp.asarray(offset), None, jnp.asarray(weight))
+    assert int(overflow) == 0
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_overflow_certificate_counts_only_contributing_samples():
+    x, offset, mask, weight = _rand_case(2)
+    offset = np.clip(offset, -0.9, 0.9)
+    # one in-image sample pushed past the window: must count
+    offset[0, 3, 4, 0] = 2.7        # tap 0 dy; floor=2 > R=1
+    # one sample pushed fully out of the image: zero contribution either
+    # way, must NOT count and must not change the output
+    offset[1, 0, 0, 0] = -30.0
+    _, overflow = _sampled_window(
+        jnp.asarray(x), jnp.asarray(offset), jnp.asarray(mask), 1)
+    assert int(overflow) == 1
+
+    # the out-of-image sample alone -> exact, certificate clean
+    offset[0, 3, 4, 0] = 0.5
+    got, overflow = modulated_deform_conv_window(
+        jnp.asarray(x), jnp.asarray(offset), jnp.asarray(mask),
+        jnp.asarray(weight), radius=1)
+    want = modulated_deform_conv(
+        jnp.asarray(x), jnp.asarray(offset), jnp.asarray(mask),
+        jnp.asarray(weight))
+    assert int(overflow) == 0
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_window_gradients_match_gather():
+    x, offset, mask, _ = _rand_case(3, Cin=3)
+    offset = np.clip(offset, -1.9, 1.9)
+    g = np.random.RandomState(7).randn(2, 7 * 9, 9, 3).astype(np.float32)
+
+    def win(x_, o_, m_):
+        from occnet_tpu.ops.dcn_window import _sampled_window_vjp
+        return jnp.sum(_sampled_window_vjp(x_, o_, m_, 2) * g)
+
+    def gat(x_, o_, m_):
+        return jnp.sum(_sampled_gather(x_, o_, m_) * g)
+
+    args = (jnp.asarray(x), jnp.asarray(offset), jnp.asarray(mask))
+    for i in range(3):
+        gw = jax.grad(win, argnums=i)(*args)
+        gg = jax.grad(gat, argnums=i)(*args)
+        np.testing.assert_allclose(np.asarray(gw), np.asarray(gg),
+                                   rtol=1e-4, atol=1e-4, err_msg=f"arg {i}")
+
+
+def test_backbone_window_mode_sows_certificate():
+    """DCN stages in window mode run and expose `dcn_window_overflow`
+    intermediates; zero-init offsets (the mmcv init) certify exact."""
+    from occnet_tpu.models.resnet import ResNet
+    model = ResNet(depth=50, out_indices=(1, 2, 3),
+                   dcn_stages=(False, False, True, True),
+                   dcn_mode="window", dcn_window_radius=1,
+                   dtype=jnp.float32)
+    x = jnp.asarray(np.random.RandomState(5).randn(1, 64, 96, 3),
+                    jnp.float32)
+    vars_ = model.init({"params": jax.random.PRNGKey(0)}, x)
+    outs, aux = model.apply(vars_, x, mutable=["intermediates"])
+    leaves = [(path, leaf) for path, leaf in
+              jax.tree_util.tree_leaves_with_path(aux["intermediates"])
+              if any("dcn_window_overflow" in str(k) for k in path)]
+    # stage 3 has 6 blocks + stage 4 has 3; the two stride-2 entry blocks
+    # fall back to the gather path and sow nothing
+    assert len(leaves) == 7
+    assert all(int(leaf) == 0 for _, leaf in leaves)
+    assert all(np.isfinite(np.asarray(o)).all() for o in outs)
+
+
+@pytest.mark.parametrize("radius", [1, 4])
+def test_window_radii(radius):
+    x, offset, mask, weight = _rand_case(4)
+    offset = np.clip(offset, -(radius - 0.1), radius - 0.1)
+    got, overflow = modulated_deform_conv_window(
+        jnp.asarray(x), jnp.asarray(offset), jnp.asarray(mask),
+        jnp.asarray(weight), radius=radius)
+    want = modulated_deform_conv(
+        jnp.asarray(x), jnp.asarray(offset), jnp.asarray(mask),
+        jnp.asarray(weight))
+    assert int(overflow) == 0
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)

@@ -102,6 +102,33 @@ def test_bilinear_sample_out_of_bounds_is_zero():
     np.testing.assert_allclose(got, 0.0, atol=1e-7)
 
 
+def test_bilinear_sample_packed_matches_gather4():
+    """One-row packed-table sampling == the 4-gather form, values and
+    gradients, with locations straddling every border (the clamp-remapped
+    weight cases) and fully out of bounds."""
+    import jax
+    from occnet_tpu.ops.msda import bilinear_sample_packed
+
+    h, w, D = 5, 7, 3
+    rng = np.random.RandomState(3)
+    v = rng.randn(2, 2, h * w, D).astype(np.float32)
+    # span [-0.3, 1.3] normalised so corners fall in-, cross- and out-of-grid
+    loc = (rng.rand(2, 2, 64, 2) * 1.6 - 0.3).astype(np.float32)
+
+    f_ref = lambda v_: bilinear_sample(v_, h, w, jnp.asarray(loc))  # noqa
+    f_pack = lambda v_: bilinear_sample_packed(  # noqa: E731
+        v_, h, w, jnp.asarray(loc))
+    np.testing.assert_allclose(np.asarray(f_pack(jnp.asarray(v))),
+                               np.asarray(f_ref(jnp.asarray(v))),
+                               rtol=1e-5, atol=1e-5)
+    g = rng.randn(2, 2, 64, D).astype(np.float32)
+    to_scalar = lambda f: lambda v_: jnp.sum(f(v_) * g)  # noqa: E731
+    gr = jax.grad(to_scalar(f_ref))(jnp.asarray(v))
+    gp = jax.grad(to_scalar(f_pack))(jnp.asarray(v))
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gr),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_patch_matches_ref_formulation_and_grads():
     """The packed corner-patch fast path == the per-corner reference
     formulation, values AND gradients, including clamp-shifted border

@@ -171,16 +171,17 @@ def main():
             print("WARNING: no checkpoint found — evaluating random init")
 
     def _fwd(p, bs, i, e):
-        # mutable=['intermediates'] collects the `sca_topk_overflow`
-        # exactness certificate sown by gather-mode SCA (ADVICE r1): a
-        # nonzero count means top-K camera compaction dropped visible
-        # queries and the "exact" mode was not exact for this config.
+        # mutable=['intermediates'] collects the exactness certificates:
+        # `sca_topk_overflow` (gather-mode SCA top-K camera compaction,
+        # ADVICE r1) and `dcn_window_overflow` (window-kernel DCN sampling,
+        # ops/dcn_window.py).  A nonzero count means the fast path dropped
+        # or clipped real samples and results deviate from the reference.
         outs, aux = model.apply({"params": p, "batch_stats": bs},
                                 _norm(i), e, mutable=["intermediates"])
         ov = jnp.zeros((), jnp.int32)
         for path, leaf in jax.tree_util.tree_leaves_with_path(
                 aux.get("intermediates", {})):
-            if any("sca_topk_overflow" in str(k) for k in path):
+            if any("_overflow" in str(k) for k in path):
                 ov = ov + jnp.sum(leaf).astype(jnp.int32)
         return outs, ov
 
@@ -262,9 +263,11 @@ def main():
     pending.clear()
     overflow = int(jax.device_get(overflow))
     if overflow > 0:
-        msg = (f"sca_topk_overflow={overflow} — top-K camera compaction "
-               "dropped visible BEV queries; results are NOT exact for "
-               "this config (raise model.encoder.sca.max_queries_per_cam)")
+        msg = (f"exactness-certificate overflow={overflow} — top-K camera "
+               "compaction dropped visible BEV queries and/or the window "
+               "DCN kernel clipped samples; results are NOT exact for this "
+               "config (raise model.encoder.sca.max_queries_per_cam / "
+               "model.backbone.dcn_window_radius)")
         if args.allow_topk_overflow:
             print("WARNING: " + msg)
         else:
