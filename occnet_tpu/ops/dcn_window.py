@@ -42,6 +42,7 @@ certificate holds — the same contract as `ops/msda_pallas.py`.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -170,6 +171,53 @@ def _window_kernel(K: int, S: int, R: int, rb: int, pr: int):
     return kernel
 
 
+def _window_kernel_dymajor(K: int, S: int, R: int, rb: int, pr: int):
+    """`_window_kernel` with the loops restructured ABSOLUTE-SHIFT-major.
+
+    The (ky, sy) loop of `_window_kernel` loads 3*S y-shifted slabs and
+    rolls each 2R+4 times, but only 2R+4 DISTINCT row shifts exist
+    (dyabs = (ky-1) - R + sy collides across ky), so 24 loads / 240 rolls
+    at R=3 dedupe to 10 loads / <=100 rolls.  The per-(ky, sy) partial
+    accumulators (`qs`) that justified the old nesting are replaced by
+    COMBINED per-(tap, sy, sx) weights wy*wx — a (rb, W) lane-row multiply,
+    ~cb x cheaper than the (rb, cb, W) FMA it feeds — keeping the big-FMA
+    count at 9*S*S while the roll traffic drops 2.4x.  Same math, same
+    in/out layout; the default (OCCNET_DCN_KERNEL=legacy restores the old
+    nesting).  Measured at R101 trunk shapes (tools/bench_dcn.py, v5e):
+    stage-3 R=3 9.77 vs 10.35 ms/layer, R=2 8.69 vs 8.99; stage-4 R=3
+    8.81 vs 9.46 — a ~6% win, bounded because both variants issue the
+    same 9*S*S big FMAs and the kernel is VPU-issue-bound, not
+    roll/load-bound."""
+    def kernel(wy_ref, wx_ref, x_ref, out_ref):
+        row0 = pl.program_id(2) * rb
+        cb = x_ref.shape[2]
+        accs = [jnp.zeros((rb, cb, _W), jnp.float32) for _ in range(K)]
+        for dyabs in range(-R - 1, R + 3):
+            ky_hits = [(ky, dyabs - ky + 1 + R) for ky in range(3)
+                       if 0 <= dyabs - ky + 1 + R < S]
+            if not ky_hits:
+                continue
+            xs = x_ref[0, pl.ds(row0 + pr + dyabs, rb), :, :]
+            xs = xs.astype(jnp.float32)
+            for dxabs in range(-R - 1, R + 3):
+                kx_hits = [(kx, dxabs - kx + 1 + R) for kx in range(3)
+                           if 0 <= dxabs - kx + 1 + R < S]
+                if not kx_hits:
+                    continue
+                xr = (pltpu.roll(xs, (-dxabs) % _W, axis=2)
+                      if dxabs else xs)
+                for ky, sy in ky_hits:
+                    for kx, sx in kx_hits:
+                        k = ky * 3 + kx
+                        w2 = (wy_ref[0, :, k * S + sy, :]
+                              * wx_ref[0, :, k * S + sx, :])   # (rb, W)
+                        accs[k] = accs[k] + xr * w2[:, None, :]
+        for k in range(K):
+            out_ref[0, :, k, :, :] = accs[k].astype(out_ref.dtype)
+
+    return kernel
+
+
 def _sampled_window(x, offset, mask, radius: int):
     """Modulated per-tap samples via the separable window kernel.
 
@@ -196,8 +244,11 @@ def _sampled_window(x, offset, mask, radius: int):
     wx = jnp.pad(wx, ((0, 0), (0, h_pad - h), (0, ks_pad - K * S),
                       (0, _W - w)))
 
+    kern = (_window_kernel_dymajor
+            if os.environ.get("OCCNET_DCN_KERNEL", "dymajor") == "dymajor"
+            else _window_kernel)
     out = pl.pallas_call(
-        _window_kernel(K, S, R, _RB, pr),
+        kern(K, S, R, _RB, pr),
         out_shape=jax.ShapeDtypeStruct((B, h_pad, K, C_pad, _W), x.dtype),
         grid=(B, C_pad // _CB, h_pad // _RB),
         in_specs=[

@@ -119,6 +119,22 @@ def test_backbone_window_mode_sows_certificate():
     assert all(np.isfinite(np.asarray(o)).all() for o in outs)
 
 
+def test_kernel_variants_agree(monkeypatch):
+    """The dyabs-major kernel (default) and the legacy (ky, sy)-major
+    nesting compute the identical function."""
+    x, offset, mask, weight = _rand_case(6)
+    offset = np.clip(offset, -2.5, 2.5)
+    args = (jnp.asarray(x), jnp.asarray(offset), jnp.asarray(mask),
+            jnp.asarray(weight))
+    monkeypatch.setenv("OCCNET_DCN_KERNEL", "dymajor")
+    got_dy, over_dy = modulated_deform_conv_window(*args, radius=3)
+    monkeypatch.setenv("OCCNET_DCN_KERNEL", "legacy")
+    got_legacy, over_legacy = modulated_deform_conv_window(*args, radius=3)
+    assert int(over_dy) == int(over_legacy) == 0
+    np.testing.assert_allclose(np.asarray(got_dy), np.asarray(got_legacy),
+                               rtol=1e-5, atol=1e-5)
+
+
 @pytest.mark.parametrize("radius", [1, 4])
 def test_window_radii(radius):
     x, offset, mask, weight = _rand_case(4)

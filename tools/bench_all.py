@@ -216,6 +216,16 @@ def main():
         rows.append(row)
         print(json.dumps(row), flush=True)
 
+    # A filtered run refreshes rows in place: keep every existing row the
+    # filter skipped so the artifact stays the FULL matrix.
+    if (args.only or args.skip) and os.path.exists(args.out):
+        with open(args.out) as f:
+            old = {r["name"]: r for r in json.load(f).get("rows", [])}
+        old.update({r["name"]: r for r in rows})
+        order = [n for n, _ in cases]
+        rows = sorted(old.values(), key=lambda r: (order.index(r["name"])
+                                                   if r["name"] in order
+                                                   else len(order)))
     with open(args.out, "w") as f:
         json.dump({"iters": args.iters, "rows": rows}, f, indent=1)
     print(f"wrote {args.out} ({len(rows)} rows)", flush=True)
