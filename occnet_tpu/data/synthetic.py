@@ -1,0 +1,298 @@
+"""Synthetic geometric occupancy benchmark: voxel scenes rendered to camera
+views with a known projection, so 3D occupancy is *inferable from the
+images* — the controlled learnability testbed for comparing the exact
+(gather) encoder against the TPU-native dense/turbo encoder.
+
+The reference demonstrates its architecture's capability via trained
+checkpoints on nuScenes (`README.md:109-124`, configs
+`bevformer_base_occ.py:44-147`); the full dataset is unavailable in this
+environment, so this module fabricates the smallest dataset with the same
+*information structure*: multi-camera RGB observations of a 3D semantic
+scene under the exact ego2img geometry the model consumes, with
+class-determined motion so the flow head (and the mAVE metric) is
+learnable from appearance too.
+
+Scenes are boxes-on-a-ground-plane sampled per seed; views are rendered
+with the repo's own DDA ray marcher (`ops/ray_march.py`, the dvr.cu:69-319
+equivalent) — every pixel's color is the semantic palette entry of the
+first occupied voxel its ray hits, shaded by distance (a monocular depth
+cue) and a per-voxel brightness hash (parallax texture), so the task is
+geometrically well-posed for both stereo and monocular inference.
+
+The benchmark geometry uses CUBIC voxels (0.8 m at the tiny 50x50x8 scale)
+so the ray-metric renderers — which march in voxel units — stay exact with
+a scalar `voxel_size` (see `evaluation/ray_metrics.py`).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+
+from occnet_tpu.config import (DataConfig, FLOW_CLASS_NAMES, ModelConfig,
+                               OCC_CLASS_NAMES)
+
+FREE_ID = len(OCC_CLASS_NAMES) - 1
+
+# Box semantic classes used by the generator (flow classes first so mAVE
+# has support): car, truck, bus, pedestrian, barrier, manmade.
+BOX_CLASSES = (0, 1, 3, 7, 9, 14)
+GROUND_ID = OCC_CLASS_NAMES.index("driveable_surface")      # 10
+
+# Class-determined planar velocity (m/s) for the flow classes: fixed per
+# class so single-frame appearance determines flow (random per-box motion
+# would be unlearnable from one frame).
+_N_FLOW = len(FLOW_CLASS_NAMES)
+CLASS_VELOCITY = np.zeros((len(OCC_CLASS_NAMES), 2), np.float32)
+for _c in range(_N_FLOW):
+    _a = 2.0 * np.pi * _c / _N_FLOW
+    CLASS_VELOCITY[_c] = (1.5 * np.cos(_a), 1.5 * np.sin(_a))
+
+
+def class_palette() -> np.ndarray:
+    """(num_classes, 3) float RGB in [0,1]: a hue wheel over the non-free
+    classes (not the nuScenes palette — visual distinctness is all that
+    matters here), free = black (never rendered: free voxels are holes)."""
+    import colorsys
+    n = len(OCC_CLASS_NAMES) - 1
+    pal = np.zeros((n + 1, 3), np.float32)
+    for i in range(n):
+        # stride the hue wheel so adjacent class ids get distant hues
+        h = (i * 5 % n) / n
+        v = 0.95 if i % 2 == 0 else 0.7
+        pal[i] = colorsys.hsv_to_rgb(h, 0.85, v)
+    return pal
+
+
+def make_scene(
+    seed: int,
+    occ_size: Tuple[int, int, int] = (50, 50, 8),
+    num_boxes: Tuple[int, int] = (5, 11),
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Random boxes-on-ground scene -> (sem (X,Y,Z) int32, flow (X,Y,Z,2)).
+
+    Ground = bottom voxel layer (driveable_surface); boxes rest on it with
+    random class / footprint / height; an ego-clearance disc around the grid
+    centre stays free so cameras never start inside geometry.
+    """
+    X, Y, Z = occ_size
+    rng = np.random.RandomState(seed)
+    sem = np.full((X, Y, Z), FREE_ID, np.int32)
+    sem[:, :, 0] = GROUND_ID
+
+    n = rng.randint(num_boxes[0], num_boxes[1])
+    cx0, cy0 = X // 2, Y // 2
+    clearance = max(2, X // 12)
+    for _ in range(n):
+        c = BOX_CLASSES[rng.randint(len(BOX_CLASSES))]
+        ex = rng.randint(2, max(3, X // 8))
+        ey = rng.randint(2, max(3, Y // 8))
+        ez = rng.randint(1, Z - 2)
+        x = rng.randint(0, X - ex)
+        y = rng.randint(0, Y - ey)
+        # keep the ego disc clear
+        if (abs(x + ex / 2 - cx0) < clearance + ex / 2
+                and abs(y + ey / 2 - cy0) < clearance + ey / 2):
+            continue
+        sem[x:x + ex, y:y + ey, 1:1 + ez] = c
+
+    flow = CLASS_VELOCITY[sem]
+    flow[sem == FREE_ID] = 0.0
+    return sem, np.ascontiguousarray(flow, np.float32)
+
+
+def ring_camera_rig(
+    num_cams: int,
+    img_hw: Tuple[int, int],
+    height: float = 1.5,
+    pitch_deg: float = 10.0,
+    focal: Optional[float] = None,
+) -> Dict[str, np.ndarray]:
+    """Outward-facing surround rig at the ego origin (nuScenes-like): yaw
+    ring of `num_cams` cameras pitched down, 90-degree hfov by default.
+
+    Returns R (C,3,3) ego->cam rotation (rows = right/down/forward), t (C,3)
+    camera centres in ego, K (3,3) intrinsics, and ego2img (C,4,4) — the
+    matrix stack the model's `point_sampling` consumes.
+    """
+    h, w = img_hw
+    f = focal if focal is not None else w / 2.0
+    K = np.array([[f, 0, w / 2.0], [0, f, h / 2.0], [0, 0, 1.0]], np.float64)
+    p = np.deg2rad(pitch_deg)
+    Rs, ts, ego2img = [], [], []
+    for ci in range(num_cams):
+        a = 2.0 * np.pi * ci / num_cams
+        fwd = np.array([np.cos(a) * np.cos(p), np.sin(a) * np.cos(p),
+                        -np.sin(p)])
+        # facing +x with world-up +z, right = -y
+        right = np.array([np.sin(a), -np.cos(a), 0.0])
+        # right-handed (x=right, y=down, z=forward): down = forward x right
+        down = np.cross(fwd, right)
+        R = np.stack([right, down, fwd])            # ego -> cam
+        t = np.array([0.0, 0.0, height])
+        e2c = np.eye(4)
+        e2c[:3, :3] = R
+        e2c[:3, 3] = -R @ t
+        viewpad = np.eye(4)
+        viewpad[:3, :3] = K
+        Rs.append(R)
+        ts.append(t)
+        ego2img.append(viewpad @ e2c)
+    return {
+        "R": np.stack(Rs).astype(np.float32),
+        "t": np.stack(ts).astype(np.float32),
+        "K": K.astype(np.float32),
+        "ego2img": np.stack(ego2img).astype(np.float32),
+    }
+
+
+@functools.partial(
+    jax.jit, static_argnames=("img_hw", "pc_range", "max_steps"))
+def render_views(
+    sem,                         # (X, Y, Z) int32
+    R,                           # (C, 3, 3) ego->cam
+    t,                           # (C, 3) camera centres (ego)
+    K,                           # (3, 3)
+    palette,                     # (num_classes, 3) float RGB [0,1]
+    img_hw: Tuple[int, int],
+    pc_range: Tuple[float, ...],
+    max_steps: int = 160,
+):
+    """Render (C, H, W, 3) uint8 camera views of a semantic voxel grid by
+    DDA ray casting (CUBIC voxels assumed: (pc_range x-extent)/X must equal
+    the z voxel size).  Pixels whose ray never hits geometry get a sky
+    gradient."""
+    import jax
+    import jax.numpy as jnp
+
+    from occnet_tpu.ops.ray_march import dda_raymarch
+
+    h, w = img_hw
+    X = sem.shape[0]
+    vs = (pc_range[3] - pc_range[0]) / X
+    offset = jnp.asarray(pc_range[:3], jnp.float32)
+    occ = sem != FREE_ID
+
+    u = (jnp.arange(w, dtype=jnp.float32) + 0.5 - K[0, 2]) / K[0, 0]
+    v = (jnp.arange(h, dtype=jnp.float32) + 0.5 - K[1, 2]) / K[1, 1]
+    uu, vv = jnp.meshgrid(u, v)                     # (H, W)
+    dir_cam = jnp.stack([uu, vv, jnp.ones_like(uu)], -1).reshape(-1, 3)
+
+    def render_one(Rc, tc):
+        dirs = dir_cam @ Rc                          # R^T per row: cam->ego
+        o_vox = jnp.broadcast_to(((tc - offset) / vs)[None], dirs.shape)
+        dist, coord, hit = dda_raymarch(occ, o_vox, dirs,
+                                        max_steps=max_steps)
+        label = sem[coord[:, 0], coord[:, 1], coord[:, 2]]
+        dist_m = dist * vs
+        # distance shading (monocular depth cue) + voxel-hash texture
+        shade = 0.35 + 0.65 * jnp.exp(-dist_m / 25.0)
+        tex = 0.85 + 0.15 * (((coord[:, 0] * 7 + coord[:, 1] * 13
+                               + coord[:, 2] * 3) % 8) / 7.0)
+        color = palette[label] * (shade * tex)[:, None]
+        sky = jnp.stack([0.53 * jnp.ones_like(vv), 0.81 * jnp.ones_like(vv),
+                         0.92 * jnp.ones_like(vv)], -1).reshape(-1, 3)
+        sky = sky * (1.0 - 0.3 * (vv.reshape(-1) * K[1, 1] + K[1, 2])
+                     [:, None] / h)
+        img = jnp.where(hit[:, None], color, sky)
+        return jnp.clip(img * 255.0, 0, 255).astype(jnp.uint8).reshape(
+            h, w, 3)
+
+    return jax.vmap(render_one)(R, t)
+
+
+class SyntheticOccDataset:
+    """Map-style dataset over generated scenes, drop-in compatible with
+    `NuSceneOccDataset` (get_sample / collate / sample_token / infos) so the
+    train CLI, loaders, samplers and `run_evaluation` all work unchanged.
+
+    Samples are generated eagerly at construction (numpy in RAM — ~1 MB per
+    sample at the tiny 256x448x6 scale) so PrefetchLoader worker threads
+    never touch jax.  Train/val splits must use disjoint `seed` ranges.
+    """
+
+    def __init__(self, data_cfg: DataConfig, model_cfg: ModelConfig,
+                 n_samples: int, seed: int = 0, training: bool = True,
+                 num_boxes: Tuple[int, int] = (5, 11),
+                 size_divisor: int = 32, log=None):
+        import jax
+        import jax.numpy as jnp
+
+        self.cfg = data_cfg
+        self.training = training
+        self.size_divisor = size_divisor
+        occ_size = tuple(data_cfg.occ_size)
+        pc_range = tuple(model_cfg.pc_range)
+        vs_xy = (pc_range[3] - pc_range[0]) / occ_size[0]
+        vs_z = (pc_range[5] - pc_range[2]) / occ_size[2]
+        if abs(vs_xy - vs_z) > 1e-6:
+            raise ValueError(
+                f"synthetic benchmark needs cubic voxels, got xy={vs_xy} "
+                f"z={vs_z}; pick pc_range/occ_size accordingly")
+        img_hw = (model_cfg.img_h, model_cfg.img_w)
+        rig = ring_camera_rig(model_cfg.num_cams, img_hw)
+        self.ego2img = rig["ego2img"]
+        palette = jnp.asarray(class_palette())
+        max_steps = sum(occ_size) + 4
+
+        self.samples = []
+        self.infos = []
+        for i in range(n_samples):
+            sem, flow = make_scene(seed + i, occ_size, num_boxes)
+            imgs = np.asarray(jax.device_get(render_views(
+                jnp.asarray(sem), jnp.asarray(rig["R"]),
+                jnp.asarray(rig["t"]), jnp.asarray(rig["K"]), palette,
+                img_hw, pc_range, max_steps)))
+            self.samples.append((imgs, sem, flow))
+            tok = f"synth-{seed + i}"
+            self.infos.append({
+                "token": tok,
+                "scene_token": tok,
+                "ego2global_translation": (0.0, 0.0, 0.0),
+                "ego2global_rotation": (1.0, 0.0, 0.0, 0.0),
+                "lidar2ego_translation": (0.0, 0.0, 0.0),
+                "lidar2ego_rotation": (1.0, 0.0, 0.0, 0.0),
+            })
+            if log is not None and (i + 1) % 32 == 0:
+                log(f"synthetic scenes: {i + 1}/{n_samples}")
+
+    def __len__(self):
+        return len(self.samples)
+
+    def sample_token(self, idx: int) -> str:
+        return self.infos[idx]["token"]
+
+    def get_sample(self, idx: int,
+                   rng: Optional[np.random.RandomState] = None) -> dict:
+        from occnet_tpu.data.pipeline import (normalize_img, pad_to_divisor,
+                                              photometric_distortion)
+
+        imgs, sem, flow = self.samples[idx]
+        imgs = imgs.astype(np.float32)
+        if self.training and rng is not None:
+            imgs = photometric_distortion(imgs, rng)
+        mean = np.asarray(self.cfg.img_mean, np.float32)
+        std = np.asarray(self.cfg.img_std, np.float32)
+        if not self.cfg.to_rgb:
+            mean, std = mean[::-1].copy(), std[::-1].copy()
+        imgs = pad_to_divisor(normalize_img(imgs, mean, std),
+                              self.size_divisor)
+        return {
+            "img": imgs,
+            "ego2img": self.ego2img,
+            "voxel_semantics": sem,
+            "voxel_flow": flow,
+            "token": self.infos[idx]["token"],
+            "scene_token": self.infos[idx]["scene_token"],
+            "ego2global": np.eye(4, dtype=np.float32),
+        }
+
+    def collate(self, samples: Sequence[dict]) -> dict:
+        batch = {}
+        for k in ("img", "ego2img", "voxel_semantics", "voxel_flow"):
+            batch[k] = np.stack([s[k] for s in samples])
+        batch["tokens"] = [s["token"] for s in samples]
+        return batch

@@ -58,7 +58,8 @@ def generate_lidar_rays() -> np.ndarray:
     return np.asarray(rays, dtype=np.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("max_steps",))
+@functools.partial(jax.jit,
+                   static_argnames=("max_steps", "voxel_size", "pc_range"))
 def render_sample(
     sem: jax.Array,          # (X, Y, Z) int semantic grid
     flow: jax.Array,         # (X, Y, Z, 2) flow grid
@@ -66,23 +67,27 @@ def render_sample(
     origins: jax.Array,      # (T, 3) ego origins (metres)
     origin_valid: jax.Array,  # (T,) bool — padding mask for < max origins
     max_steps: int = 448,
+    voxel_size: float = _VOXEL_SIZE,
+    pc_range: Tuple[float, ...] = _PC_RANGE,
 ):
     """Render a semantic+flow grid along all rays from all origins.
 
     Returns dict of (T, R) label/dist and (T, R, 2) flow, with `valid`
-    broadcast from origin_valid.  Distances in metres.
+    broadcast from origin_valid.  Distances in metres.  `voxel_size` /
+    `pc_range` default to the reference challenge geometry (CUBIC voxels
+    assumed — the marcher works in voxel units).
     """
     occ = (sem != FREE_ID)
-    offset = jnp.asarray(_PC_RANGE[:3], jnp.float32)
+    offset = jnp.asarray(pc_range[:3], jnp.float32)
 
     def render_one(origin):
-        o_vox = (origin - offset) / _VOXEL_SIZE
+        o_vox = (origin - offset) / voxel_size
         o_vox = jnp.broadcast_to(o_vox[None, :], rays.shape)
         dist, coord, hit = dda_raymarch(occ, o_vox, rays,
                                         max_steps=max_steps)
         label = sem[coord[:, 0], coord[:, 1], coord[:, 2]]
         fl = flow[coord[:, 0], coord[:, 1], coord[:, 2]]
-        return dist * _VOXEL_SIZE, label, fl
+        return dist * voxel_size, label, fl
 
     dist, label, fl = jax.vmap(render_one)(origins)
     valid = jnp.broadcast_to(origin_valid[:, None], dist.shape)
@@ -103,7 +108,8 @@ def fan_parameters(rays: jax.Array, num_az: int = 360):
     return az_dirs, pitch_dz, pitch_scale
 
 
-@functools.partial(jax.jit, static_argnames=("num_az",))
+@functools.partial(jax.jit,
+                   static_argnames=("num_az", "voxel_size", "pc_range"))
 def render_sample_fast(
     sem: jax.Array,          # (X, Y, Z) int semantic grid
     flow: jax.Array,         # (X, Y, Z, 2)
@@ -111,6 +117,8 @@ def render_sample_fast(
     origins: jax.Array,      # (T, 3) metres
     origin_valid: jax.Array,  # (T,)
     num_az: int = 360,
+    voxel_size: float = _VOXEL_SIZE,
+    pc_range: Tuple[float, ...] = _PC_RANGE,
 ):
     """Fan-structured render via the column-factored DDA
     (`ops/ray_march_fast.py`): ~50x fewer gathers than `render_sample`.
@@ -118,12 +126,12 @@ def render_sample_fast(
     from occnet_tpu.ops.ray_march_fast import dda_raymarch_fan
 
     occ = (sem != FREE_ID)
-    offset = jnp.asarray(_PC_RANGE[:3], jnp.float32)
+    offset = jnp.asarray(pc_range[:3], jnp.float32)
     az_dirs, pitch_dz, pitch_scale = fan_parameters(rays, num_az)
     R = rays.shape[0]
 
     def render_one(origin):
-        o_vox = (origin - offset) / _VOXEL_SIZE
+        o_vox = (origin - offset) / voxel_size
         dist, coord, hit = dda_raymarch_fan(
             occ, o_vox, az_dirs, pitch_dz, pitch_scale)
         # (A, K) -> pitch-major (K*A,)
@@ -131,31 +139,32 @@ def render_sample_fast(
         coord = coord.swapaxes(0, 1).reshape(R, 3)
         label = sem[coord[:, 0], coord[:, 1], coord[:, 2]]
         fl = flow[coord[:, 0], coord[:, 1], coord[:, 2]]
-        return dist * _VOXEL_SIZE, label, fl
+        return dist * voxel_size, label, fl
 
     dist, label, fl = jax.vmap(render_one)(origins)
     valid = jnp.broadcast_to(origin_valid[:, None], dist.shape)
     return {"dist": dist, "label": label, "flow": fl, "valid": valid}
 
 
-def _render_grids_impl(sems, flows, rays, origins, origin_valid, num_az):
+def _render_grids_impl(sems, flows, rays, origins, origin_valid, num_az,
+                       voxel_size=_VOXEL_SIZE, pc_range=_PC_RANGE):
     """Loop-free render of G grids x T origins (`ops/ray_march_vec.py`): all
     (grid, origin, azimuth) marches batch into one gather instead of ~420
     dependent tiny steps.  Returns dict of (G, T, R) arrays, R pitch-major."""
     from occnet_tpu.ops.ray_march_vec import dda_raymarch_fan_vec
 
     occs = (sems != FREE_ID)
-    offset = jnp.asarray(_PC_RANGE[:3], jnp.float32)
+    offset = jnp.asarray(pc_range[:3], jnp.float32)
     az_dirs, pitch_dz, pitch_scale = fan_parameters(rays, num_az)
     G = sems.shape[0]
     R = rays.shape[0]
     T = origins.shape[0]
 
-    o_vox = (origins - offset[None]) / _VOXEL_SIZE
+    o_vox = (origins - offset[None]) / voxel_size
     dist, coord, hit = dda_raymarch_fan_vec(
         occs, o_vox, az_dirs, pitch_dz, pitch_scale)   # (G, T, A, K[,3])
     # (G, T, A, K) -> pitch-major (G, T, K*A)
-    dist = jnp.swapaxes(dist, 2, 3).reshape(G, T, R) * _VOXEL_SIZE
+    dist = jnp.swapaxes(dist, 2, 3).reshape(G, T, R) * voxel_size
     coord = jnp.swapaxes(coord, 2, 3).reshape(G, T, R, 3)
     label = jax.vmap(lambda s, c: s[c[..., 0], c[..., 1], c[..., 2]])(
         sems, coord)
@@ -176,15 +185,19 @@ def _render_grids_impl(sems, flows, rays, origins, origin_valid, num_az):
 _RENDER_EXE: Dict[tuple, "jax.stages.Compiled"] = {}
 
 
-def _render_grids(sems, flows, rays, origins, origin_valid, num_az):
+def _render_grids(sems, flows, rays, origins, origin_valid, num_az,
+                  voxel_size=_VOXEL_SIZE, pc_range=_PC_RANGE):
     key = (sems.shape, str(sems.dtype), flows.shape, str(flows.dtype),
-           rays.shape, origins.shape, origin_valid.shape, int(num_az))
+           rays.shape, origins.shape, origin_valid.shape, int(num_az),
+           float(voxel_size), tuple(pc_range))
     exe = _RENDER_EXE.get(key)
     if exe is None:
         exe = jax.jit(
-            _render_grids_impl, static_argnames=("num_az",)).lower(
+            _render_grids_impl,
+            static_argnames=("num_az", "voxel_size", "pc_range")).lower(
                 sems, flows, rays, origins, origin_valid,
-                num_az=int(num_az)).compile()
+                num_az=int(num_az), voxel_size=float(voxel_size),
+                pc_range=tuple(pc_range)).compile()
         _RENDER_EXE[key] = exe
     return exe(sems, flows, rays, origins, origin_valid)
 
@@ -194,11 +207,13 @@ def render_pred_gt(
     sem_gt: jax.Array, flow_gt: jax.Array,
     rays: jax.Array, origins: jax.Array, origin_valid: jax.Array,
     num_az: int = 360,
+    voxel_size: float = _VOXEL_SIZE,
+    pc_range: Tuple[float, ...] = _PC_RANGE,
 ):
     """Render prediction and ground truth in ONE loop-free dispatch."""
     outs = _render_grids(
         jnp.stack([sem_pred, sem_gt]), jnp.stack([flow_pred, flow_gt]),
-        rays, origins, origin_valid, num_az)
+        rays, origins, origin_valid, num_az, voxel_size, pc_range)
     pred = {k: v[0] for k, v in outs.items()}
     gt = {k: v[1] for k, v in outs.items()}
     return pred, gt
@@ -207,10 +222,13 @@ def render_pred_gt(
 def render_sample_vec(
     sem: jax.Array, flow: jax.Array, rays: jax.Array, origins: jax.Array,
     origin_valid: jax.Array, num_az: int = 360,
+    voxel_size: float = _VOXEL_SIZE,
+    pc_range: Tuple[float, ...] = _PC_RANGE,
 ):
     """`render_sample_fast` contract on the loop-free marcher."""
     outs = _render_grids(jnp.asarray(sem)[None], jnp.asarray(flow)[None],
-                         rays, origins, origin_valid, num_az)
+                         rays, origins, origin_valid, num_az, voxel_size,
+                         pc_range)
     return {k: v[0] for k, v in outs.items()}
 
 

@@ -148,4 +148,8 @@ def calibration_topk(
         ref3d, m.pc_range, ego2img, (m.img_h, m.img_w))
     import numpy as np
     max_vis = int((np.asarray(bev_mask).sum(-1) > 0).sum(-1).max())
-    return min(q, -(-int(max_vis * margin) // multiple) * multiple)
+    # clamp below by one `multiple`: a degenerate rig (no visible queries)
+    # would otherwise return 0, which SCAConfig interprets as "dense all-Q"
+    # — the opposite of a small compaction (ADVICE r3)
+    return min(q, max(multiple, -(-int(max_vis * margin) // multiple)
+                      * multiple))

@@ -244,6 +244,9 @@ def _sampled_window(x, offset, mask, radius: int):
     wx = jnp.pad(wx, ((0, 0), (0, h_pad - h), (0, ks_pad - K * S),
                       (0, _W - w)))
 
+    # NOTE: read at TRACE time — under jit the variant is frozen into the
+    # compiled graph; toggling the env var after first compile has no
+    # effect on live models (it is a bench/test knob, not a runtime switch)
     kern = (_window_kernel_dymajor
             if os.environ.get("OCCNET_DCN_KERNEL", "dymajor") == "dymajor"
             else _window_kernel)

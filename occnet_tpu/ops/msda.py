@@ -202,14 +202,18 @@ def multi_scale_deformable_attention(
         return out
 
     if query_chunk and Q > query_chunk:
-        # snap to the smallest chunk count >= Q/query_chunk that divides Q —
         # a non-dividing query_chunk used to fall back to UNCHUNKED silently,
         # which at base-scale training shapes (Q=12288, chunk 8000) blew the
-        # per-layer gather temporaries to 6 GB each and OOMed the backward
+        # per-layer gather temporaries to 6 GB each and OOMed the backward.
+        # Non-dividing Q is PADDED to a whole number of chunks (zero attn
+        # weights contribute zero; the pad rows are sliced off) — a divisor
+        # search could degrade to chunk size 1 for prime Q (ADVICE r3)
         n_chunks = -(-Q // query_chunk)
-        while Q % n_chunks:
-            n_chunks += 1
-        query_chunk = Q // n_chunks
+        q_pad = n_chunks * query_chunk - Q
+        if q_pad:
+            loc_hm = jnp.pad(loc_hm, ((0, 0), (0, q_pad), (0, 0), (0, 0),
+                                      (0, 0)))
+            w_hm = jnp.pad(w_hm, ((0, 0), (0, q_pad), (0, 0), (0, 0)))
 
         def body(_, inputs):
             loc, attn = inputs
@@ -225,7 +229,8 @@ def multi_scale_deformable_attention(
         w_chunks = w_hm.reshape(
             B * H, n_chunks, query_chunk, L, P).swapaxes(0, 1)
         _, outs = jax.lax.scan(body, None, (loc_chunks, w_chunks))
-        out = outs.swapaxes(0, 1).reshape(B * H, Q, D)
+        out = outs.swapaxes(0, 1).reshape(B * H, n_chunks * query_chunk,
+                                          D)[:, :Q]
     else:
         out = compute(loc_hm, w_hm)
 

@@ -336,8 +336,9 @@ def _forward(value, spatial_shapes, sampling_locations, attention_weights):
                        axis=-1) * a[..., None]           # (BH, Qp, P, 4)
         if h * w > row_budget:
             # level too big for full VMEM residency (the (hw, 32) slice pads
-            # to 128 lanes): row-banded kernel (default) or patch-table XLA
-            # gather for this level
+            # to 128 lanes): patch-table XLA gather (default — measured
+            # faster at base shapes) or the row-banded kernel via
+            # OCCNET_MSDA_LEVEL0=banded
             if os.environ.get("OCCNET_MSDA_LEVEL0", "xla") == "banded":
                 out = out + _sample_level_banded(
                     value_l.astype(jnp.float32), bt, bb, w4, P, w)

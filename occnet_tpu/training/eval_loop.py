@@ -92,7 +92,9 @@ def run_evaluation(
                 occ_cls[0].astype(jnp.int32), flow[0].astype(jnp.float32),
                 jnp.asarray(s["voxel_semantics"]),
                 jnp.asarray(s["voxel_flow"]),
-                rays, jnp.asarray(padded), jnp.asarray(valid))
+                rays, jnp.asarray(padded), jnp.asarray(valid),
+                voxel_size=cfg.eval.voxel_size,
+                pc_range=tuple(cfg.eval.pc_range))
             pending.append(acc.count_async(pred, gt))
             if len(pending) >= flush:
                 flush_pending()

@@ -138,12 +138,15 @@ def make_temporal_train_step(cfg: OccNetConfig, model, base_tx):
             {"params": params, "batch_stats": batch_stats},
             batch["img"][:, -1], batch["ego2img"][:, -1],
             prev_bev=prev_bev, shift_ref_2d=shift_ref,
-            train=True, rngs=rngs, mutable=["batch_stats"])
+            train=True, rngs=rngs,
+            mutable=["batch_stats", "intermediates"])
         loss_occ, loss_flow = occ_flow_loss(
             outs["occ"], outs["flow"], batch["voxel_semantics"],
             batch["voxel_flow"], cfg.loss)
+        from occnet_tpu.training.train import collect_overflow
+        overflow = collect_overflow(mutated.get("intermediates", {}))
         return loss_occ + loss_flow, (loss_occ, loss_flow,
-                                      mutated["batch_stats"])
+                                      mutated["batch_stats"], overflow)
 
     def train_step(state, batch, rng):
         rng = jax.random.fold_in(rng, state.step)
@@ -157,7 +160,7 @@ def make_temporal_train_step(cfg: OccNetConfig, model, base_tx):
         prev_bev = align_prev_bev(prev_bev, batch["rot_deg"][:, -1],
                                   (m.bev_h, m.bev_w))
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
-        (loss, (loss_occ, loss_flow, new_stats)), grads = grad_fn(
+        (loss, (loss_occ, loss_flow, new_stats, overflow)), grads = grad_fn(
             state.params, state.batch_stats, batch, prev_bev, rng)
         updates, new_opt = base_tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
@@ -165,7 +168,8 @@ def make_temporal_train_step(cfg: OccNetConfig, model, base_tx):
         metrics = {"loss": loss, "loss_occ": loss_occ,
                    "loss_flow": loss_flow,
                    "grad_norm": optax.global_norm(grads),
-                   "lr": make_lr_schedule(cfg)(state.step)}
+                   "lr": make_lr_schedule(cfg)(state.step),
+                   "cert_overflow": overflow}
         return TrainState(step=state.step + 1, params=params,
                           batch_stats=new_stats, opt_state=new_opt), metrics
 

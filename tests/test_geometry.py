@@ -115,8 +115,9 @@ def test_calibration_topk():
     k = calibration_topk(cfg.model, jnp.asarray(batch["ego2img"]))
     # the synthetic ring rig sees 9,929-9,999 queries per camera
     assert k == 10240
-    # degenerate rig (all cameras see nothing finite): never exceeds Q and
-    # stays a positive multiple of 1024
+    # degenerate rig (all cameras see nothing finite): never exceeds Q,
+    # stays a positive multiple of 1024, and never returns 0 (0 would mean
+    # "dense all-queries" to SCAConfig — ADVICE r3)
     k0 = calibration_topk(cfg.model, jnp.zeros_like(
         jnp.asarray(batch["ego2img"])))
-    assert 0 <= k0 <= cfg.model.bev_h * cfg.model.bev_w and k0 % 1024 == 0
+    assert 1024 <= k0 <= cfg.model.bev_h * cfg.model.bev_w and k0 % 1024 == 0

@@ -73,12 +73,23 @@ def test_msda_chunked_matches_unchunked():
         chunk_size=16)
     np.testing.assert_allclose(np.asarray(full), np.asarray(chunked),
                                atol=1e-6)
-    # non-dividing chunk sizes snap to a dividing one instead of silently
-    # running unchunked (the base-scale Q=12288 / chunk-8000 OOM, r3)
+    # non-dividing chunk sizes pad Q to a whole number of chunks instead of
+    # silently running unchunked (the base-scale Q=12288 / chunk-8000 OOM,
+    # r3) or walking the divisor search to chunk size 1 (ADVICE r3)
     snapped = multi_scale_deformable_attention_chunked(
         jnp.asarray(value), shapes, jnp.asarray(loc), jnp.asarray(w),
         chunk_size=39)
     np.testing.assert_allclose(np.asarray(full), np.asarray(snapped),
+                               atol=1e-6)
+    # prime Q with a non-dividing chunk: must still match (pads, not a
+    # Q-iteration scan)
+    value, shapes, loc, w = make_inputs(B=1, Q=61)
+    full = multi_scale_deformable_attention(
+        jnp.asarray(value), shapes, jnp.asarray(loc), jnp.asarray(w))
+    padded = multi_scale_deformable_attention_chunked(
+        jnp.asarray(value), shapes, jnp.asarray(loc), jnp.asarray(w),
+        chunk_size=16)
+    np.testing.assert_allclose(np.asarray(full), np.asarray(padded),
                                atol=1e-6)
 
 

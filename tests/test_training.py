@@ -196,6 +196,38 @@ def test_checkpoint_roundtrip(tmp_path, trained):
     np.testing.assert_array_equal(a, b)
 
 
+def test_train_step_reports_certificate_overflow():
+    """The exactness certificates must be visible to the TRAINER, not just
+    eval (VERDICT r3 #2): with top-K compaction forced below the visible
+    count, the jitted train step's `cert_overflow` metric is nonzero; with
+    an adequate K it is exactly zero."""
+    from occnet_tpu.config import SCAConfig
+
+    cfg = small_cfg()
+    batch = make_batch(cfg, 2)
+
+    def with_k(c, k):
+        enc = dataclasses.replace(
+            c.model.encoder, sca=dataclasses.replace(
+                c.model.encoder.sca, max_queries_per_cam=k))
+        return dataclasses.replace(
+            c, model=dataclasses.replace(c.model, encoder=enc))
+
+    # K=2 on a 6x6 BEV: each camera sees far more than 2 queries -> overflow
+    cfg_bad = with_k(cfg, 2)
+    model, state = create_train_state(cfg_bad, jax.random.PRNGKey(0), batch)
+    step = jax.jit(make_train_step(cfg_bad, model))
+    _, metrics = step(state, batch, jax.random.PRNGKey(1))
+    assert int(metrics["cert_overflow"]) > 0
+
+    # K=32 (>= any per-camera visible count at this scale) -> certified exact
+    cfg_ok = with_k(cfg, 32)
+    model, state = create_train_state(cfg_ok, jax.random.PRNGKey(0), batch)
+    step = jax.jit(make_train_step(cfg_ok, model))
+    _, metrics = step(state, batch, jax.random.PRNGKey(1))
+    assert int(metrics["cert_overflow"]) == 0
+
+
 def test_train_step_uint8_device_normalize():
     """A raw-uint8 batch (--device-normalize loader) runs distortion +
     normalise + pad inside the step and trains to a finite loss; init sees

@@ -37,6 +37,12 @@ def parse_args():
                         "padding inside the jitted train step")
     p.add_argument("--synthetic-data", action="store_true",
                    help="train on random tensors (no dataset on disk)")
+    p.add_argument("--synthetic-geometric", type=int, default=0, metavar="N",
+                   help="train on N generated geometric scenes (multi-camera "
+                        "renders of random voxel worlds, data/synthetic.py) "
+                        "— a real learnable task with no dataset on disk; "
+                        "--eval-interval-epochs evaluates RayIoU on a "
+                        "held-out synthetic val split")
     p.add_argument("--log-interval", type=int, default=50)
     p.add_argument("--profile", type=int, default=0, metavar="N",
                    help="capture a jax.profiler trace of N steps (after a "
@@ -133,7 +139,26 @@ def main():
                          "--temporal-queue (the clip step has no on-device "
                          "augmentation path); drop one of the flags")
     dataset = None
-    if not args.synthetic_data:
+    val_dataset = None
+    if args.synthetic_geometric:
+        if temporal:
+            raise SystemExit("--synthetic-geometric generates one frame per "
+                             "scene; no clips for --temporal-queue")
+        from occnet_tpu.data.synthetic import SyntheticOccDataset
+        # disjoint seed ranges: val = seeds [0, n_val), train = [1000, ...)
+        dataset = SyntheticOccDataset(
+            cfg.data, cfg.model, args.synthetic_geometric, seed=1000,
+            training=True, log=log.info)
+        if args.eval_interval_epochs:
+            val_dataset = SyntheticOccDataset(
+                cfg.data, cfg.model,
+                max(8, args.synthetic_geometric // 16), seed=0,
+                training=False)
+        steps_per_epoch = max(len(dataset) // global_batch, 1)
+        cfg = apply_overrides(cfg, {"optim.steps_per_epoch": steps_per_epoch})
+        log.info("synthetic-geometric dataset: %d scenes, %d steps/epoch",
+                 len(dataset), steps_per_epoch)
+    elif not args.synthetic_data:
         dataset = build_train_dataset(cfg.data, training=True,
                                       device_normalize=args.device_normalize)
         if temporal:
@@ -253,8 +278,30 @@ def main():
         else:
             batch = sample
         state, metrics = step_fn(state, batch, key)
+        # Exactness-certificate accumulator (sca_topk_overflow /
+        # dcn_window_overflow): lazy device-side sum — no per-step sync —
+        # checked whenever metrics are fetched.  A nonzero count means the
+        # static fast paths deviated from reference semantics AND their
+        # custom VJPs returned gradients of a different function, so the
+        # run aborts (detection latency <= --log-interval steps).  The
+        # reference's per-camera rebatch is exact by construction
+        # (spatial_cross_attention.py:137-153); this is our equivalent
+        # guarantee, now enforced in training as well as eval.
+        overflow_acc = overflow_acc + metrics["cert_overflow"] \
+            if step > step0 else metrics["cert_overflow"]
         if step % args.log_interval == 0 or step == total_steps - 1:
             m = {k: float(v) for k, v in metrics.items()}
+            m["cert_overflow"] = float(overflow_acc)
+            if m["cert_overflow"]:
+                if events is not None:
+                    events.write(step, tag="abort", **m)
+                raise SystemExit(
+                    f"exactness certificate violated at/before step {step}: "
+                    f"{int(m['cert_overflow'])} overflowed samples "
+                    "(sca_topk_overflow / dcn_window_overflow) — gradients "
+                    "since the violation are inconsistent; raise "
+                    "model.encoder.sca.max_queries_per_cam or the backbone "
+                    "dcn window radius, or fall back to gather mode")
             dt = (time.time() - t_start) / max(step - step0 + 1, 1)
             log.info("step %d/%d  loss %.4f (occ %.4f flow %.4f) "
                      "gnorm %.2f lr %.2e  %.2fs/it",
@@ -272,11 +319,14 @@ def main():
                 and (step + 1) % (epoch_len * args.eval_interval_epochs)
                 == 0):
             from occnet_tpu.training.eval_loop import run_evaluation
-            val = NuSceneOccDataset(
-                cfg.data, os.path.join(cfg.data.data_root, cfg.data.val_ann),
-                training=False)
+            if val_dataset is None:
+                val_dataset = NuSceneOccDataset(
+                    cfg.data,
+                    os.path.join(cfg.data.data_root, cfg.data.val_ann),
+                    training=False)
             scores = run_evaluation(cfg, model, state.params,
-                                    state.batch_stats, val, log=log.info)
+                                    state.batch_stats, val_dataset,
+                                    log=log.info)
             if events is not None:
                 events.write(step + 1, tag="eval", **scores)
     profiler.close()
