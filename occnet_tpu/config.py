@@ -95,6 +95,13 @@ class SCAConfig:
     # eval hard-fails on a nonzero count (tools/test.py), so a geometry that
     # ever exceeds K aborts loudly instead of silently scoring wrong.
     max_queries_per_cam: int = 12288
+    # Per-camera K_c overriding max_queries_per_cam when non-empty (len ==
+    # num_cams): narrow-FoV cameras see far fewer BEV queries than wide
+    # ones, so a rig-global K pays the worst camera's row count everywhere.
+    # Cameras with equal K_c batch into one MSDA call; certified by the
+    # same `sca_topk_overflow` intermediate.  Derive via
+    # `geometry.calibration_topk(..., per_camera=True)`.
+    per_cam_topk: Tuple[int, ...] = ()
     # deformable-sampling implementation: "xla" = patch-table gather
     # (ops/msda.py), "pallas" = fused kernel (ops/msda_pallas.py)
     msda_impl: str = "xla"

@@ -128,10 +128,15 @@ def calibration_topk(
     ego2img: jax.Array,      # (B, cams, 4, 4) for one representative frame
     margin: float = 1.02,
     multiple: int = 1024,
-) -> int:
+    per_camera: bool = False,
+):
     """Calibration-derived SCA top-K: project the BEV pillar grid through one
     frame's cameras and size `max_queries_per_cam` to the worst per-camera
     visible-query count (+margin, rounded up to `multiple`, capped at Q).
+    With `per_camera=True`, return a per-camera tuple K_c instead (for
+    `SCAConfig.per_cam_topk`): narrow-FoV cameras get a smaller K than wide
+    ones, cutting SCA sampling rows on asymmetric rigs like nuScenes (five
+    ~70-degree cameras + one 110-degree back camera).
 
     The TPU analogue of the reference's dynamic per-camera `max_len`
     (`spatial_cross_attention.py:141`): the camera rig is constant per
@@ -147,9 +152,15 @@ def calibration_topk(
     _, bev_mask = project_bev_points_to_cameras(
         ref3d, m.pc_range, ego2img, (m.img_h, m.img_w))
     import numpy as np
-    max_vis = int((np.asarray(bev_mask).sum(-1) > 0).sum(-1).max())
-    # clamp below by one `multiple`: a degenerate rig (no visible queries)
-    # would otherwise return 0, which SCAConfig interprets as "dense all-Q"
-    # — the opposite of a small compaction (ADVICE r3)
-    return min(q, max(multiple, -(-int(max_vis * margin) // multiple)
-                      * multiple))
+
+    # clamp below by one `multiple`: a degenerate camera (no visible
+    # queries) would otherwise get 0, which SCAConfig interprets as "dense
+    # all-Q" — the opposite of a small compaction (ADVICE r3)
+    def snap(count: int) -> int:
+        return min(q, max(multiple, -(-int(count * margin) // multiple)
+                          * multiple))
+
+    vis_counts = (np.asarray(bev_mask).sum(-1) > 0).sum(-1)   # (cams, B)
+    if per_camera:
+        return tuple(snap(int(c)) for c in vis_counts.max(-1))
+    return snap(int(vis_counts.max()))

@@ -174,37 +174,61 @@ class SpatialCrossAttention(nn.Module):
         count = jnp.maximum(visible.sum(axis=1), 1).astype(jnp.float32)
 
         K = self.cfg.max_queries_per_cam
-        if K and K < Q:
+        ks = tuple(int(k) for k in self.cfg.per_cam_topk)
+        if ks and len(ks) != n_cam:
+            raise ValueError(
+                f"per_cam_topk has {len(ks)} entries for {n_cam} cameras")
+        if not ks and K:
+            ks = (int(K),) * n_cam
+        if ks and min(ks) < Q:
             # Static top-K compaction: the TPU analogue of the reference's
-            # dynamic per-camera rebatch (:137-167).  Exact whenever K >= the
-            # max per-camera visible-query count (selected set then covers
-            # the visible set; extra slots are masked out below).  The
+            # dynamic per-camera rebatch (:137-167).  Exact whenever K_c >=
+            # camera c's visible-query count (selected set then covers the
+            # visible set; extra slots are masked out below).  The
             # `sca_topk_overflow` intermediate counts visible queries that
             # did NOT fit — 0 certifies the compaction was exact for this
             # batch (the runtime check replacing an unjittable assert).
+            # Per-camera K_c (`per_cam_topk`, calibration-derived): cameras
+            # with equal K batch into one MSDA call; distinct-K groups run
+            # separately — narrow-FoV cameras stop paying the widest
+            # camera's row count (the reference's per-camera `max_len` is
+            # dynamic per level for the same reason,
+            # `spatial_cross_attention.py:141`).
+            ks = tuple(min(k, Q) for k in ks)
             n_visible = visible.sum(axis=2)               # (B, n_cam)
             self.sow("intermediates", "sca_topk_overflow",
-                     jnp.maximum(n_visible - K, 0).max())
+                     jnp.maximum(
+                         n_visible - jnp.asarray(np.asarray(ks, np.int32)),
+                         0).max())
             scores = jnp.transpose(vis_cnt, (1, 0, 2)).astype(jnp.int32)
-            _, sel = jax.lax.top_k(scores, K)             # (B, n_cam, K)
-            q_sel = jnp.take_along_axis(
-                jnp.broadcast_to(query[:, None], (B, n_cam, Q, C)),
-                sel[..., None], axis=2)
-            ref_sel = jnp.take_along_axis(
-                ref_bc, sel[..., None, None], axis=2)
-            out_sel = msda(q_sel.reshape(B * n_cam, K, C), v_all,
-                           ref_sel.reshape(B * n_cam, K, -1, 2),
-                           spatial_shapes)
-            out_sel = out_sel.reshape(B, n_cam, K, C)
-            vis_sel = jnp.take_along_axis(visible, sel, axis=2)
-            out_sel = out_sel * vis_sel[..., None].astype(out_sel.dtype)
-            # scatter back over cameras (top_k indices are distinct per
-            # (batch, camera), so the adds are exact), then sum cameras
-            scat = jnp.zeros((B, n_cam, Q, C), out_sel.dtype)
+            groups: dict = {}
+            for ci, k in enumerate(ks):
+                groups.setdefault(k, []).append(ci)
+            slots = None
             bidx = jnp.arange(B)[:, None, None]
-            cidx = jnp.arange(n_cam)[None, :, None]
-            scat = scat.at[bidx, cidx, sel].add(out_sel)
-            slots = scat.sum(axis=1)
+            for K_g, cams in sorted(groups.items()):
+                cam_idx = np.asarray(cams)
+                g = len(cams)
+                _, sel = jax.lax.top_k(scores[:, cam_idx], K_g)  # (B,g,K_g)
+                q_sel = jnp.take_along_axis(
+                    jnp.broadcast_to(query[:, None], (B, g, Q, C)),
+                    sel[..., None], axis=2)
+                ref_sel = jnp.take_along_axis(
+                    ref_bc[:, cam_idx], sel[..., None, None], axis=2)
+                out_sel = msda(
+                    q_sel.reshape(B * g, K_g, C),
+                    value[:, cam_idx].reshape(B * g, -1, C),
+                    ref_sel.reshape(B * g, K_g, -1, 2), spatial_shapes)
+                out_sel = out_sel.reshape(B, g, K_g, C)
+                vis_sel = jnp.take_along_axis(visible[:, cam_idx], sel,
+                                              axis=2)
+                out_sel = out_sel * vis_sel[..., None].astype(out_sel.dtype)
+                if slots is None:
+                    slots = jnp.zeros((B, Q, C), out_sel.dtype)
+                # scatter-add over queries (top_k indices are distinct per
+                # (batch, camera)); camera contributions sum as in the
+                # dense path
+                slots = slots.at[bidx, sel].add(out_sel)
         else:
             # Dense: all cameras in one batched call (B*n_cam, Q, ...).
             q_all = jnp.broadcast_to(query[:, None], (B, n_cam, Q, C))

@@ -24,6 +24,30 @@ def _config_json(cfg: OccNetConfig) -> str:
     return json.dumps(dataclasses.asdict(cfg), default=str)
 
 
+def _env_meta() -> dict:
+    """Environment/version metadata embedded in every checkpoint — the
+    reference packs env_info + config text + versions + time into
+    checkpoint meta (`tools/train.py:177-199,235-245`); this is the JAX
+    equivalent (no torch/CUDA fields)."""
+    import platform
+    import time
+
+    import jaxlib
+
+    dev = jax.devices()[0]
+    return {
+        "time": time.strftime("%Y-%m-%d %H:%M:%S"),
+        "hostname": platform.node(),
+        "python": platform.python_version(),
+        "jax": jax.__version__,
+        "jaxlib": jaxlib.__version__,
+        "backend": jax.default_backend(),
+        "device_kind": getattr(dev, "device_kind", str(dev)),
+        "device_count": jax.device_count(),
+        "process_count": jax.process_count(),
+    }
+
+
 def _replicated_mesh():
     from jax.sharding import Mesh
     return Mesh(np.asarray(jax.devices()), ("all",))
@@ -91,7 +115,8 @@ class CheckpointManager:
         })
         args = ocp.args.Composite(
             state=ocp.args.StandardSave(payload),
-            **({"meta": ocp.args.JsonSave({"config": _config_json(cfg)})}
+            **({"meta": ocp.args.JsonSave({"config": _config_json(cfg),
+                                           "env": _env_meta()})}
                if cfg else {}),
         )
         self.mngr.save(step, args=args)

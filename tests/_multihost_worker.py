@@ -165,6 +165,33 @@ def main():
         if proc == 0:
             print(f"QSHARD OK loss={loss:.4f}", flush=True)
 
+    if mode == "videoshard":
+        # --- tools/test.py --distributed --video across a scene cut -------
+        # One 4-frame scene, 2 contiguous shards: proc1's shard starts
+        # MID-SCENE, so its streaming state begins a fresh chain there
+        # (matching the reference's per-GPU `prev_frame_info` behaviour,
+        # bevformer_occ.py:59-64) — the launcher compares the resulting
+        # score against single-process streaming to bound the reset cost.
+        import importlib.util
+        tmp = sys.argv[4]
+        extra = sys.argv[5:]
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        old_argv = sys.argv
+        sys.argv = ["test.py", "--config", "tiny_occ", "--eval", "--video",
+                    "--distributed",
+                    "--work-dir", os.path.join(tmp, "work2p"),
+                    "--set", f"data.data_root={os.path.join(tmp, 'data')}",
+                    "data.val_ann=infos_val.pkl"] + extra
+        spec = importlib.util.spec_from_file_location(
+            "occnet_test_cli_2p", os.path.join(repo, "tools", "test.py"))
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        mod.main()
+        sys.argv = old_argv
+        parallel.barrier("video2p")
+        if proc == 0:
+            print("VIDEO2P OK", flush=True)
+
     parallel.barrier("done")
     print(f"WORKER{proc} OK", flush=True)
 

@@ -193,6 +193,51 @@ def test_video_streaming_eval_cli(tmp_path, monkeypatch):
     assert np.isfinite(scores["RayIoU"])
 
 
+def test_train_cli_synthetic_geometric(tmp_path):
+    """tools/train.py --synthetic-geometric: trains on generated geometric
+    scenes, applies --autoscale-lr, and fires the DYNAMIC eval interval
+    ('2:1' = every epoch from epoch 2) with RayIoU on the held-out
+    synthetic val split.  1-virtual-device subprocess, micro model."""
+    import json
+    import subprocess
+
+    work = str(tmp_path / "work")
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    env["PYTHONPATH"] = REPO
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "train.py"),
+         "--config", "synth_tiny_occ", "--work-dir", work,
+         "--synthetic-geometric", "4", "--max-steps", "4",
+         "--autoscale-lr", "--eval-dynamic-intervals", "2:1",
+         "--log-interval", "1", "--ckpt-interval-epochs", "1000",
+         # micro geometry, CUBIC 0.8 m voxels: 20x20x6 over +/-8 m, -1..3.8
+         "--set", "model.img_h=32", "model.img_w=64", "model.bev_h=20",
+         "model.bev_w=20", "model.pillar_h=6", "model.embed_dims=48",
+         "model.out_dim=8", "model.num_cams=2",
+         "model.compute_dtype=float32",
+         "model.pc_range=-8,-8,-1,8,8,3.8", "model.encoder.num_layers=1",
+         "model.encoder.ffn_dim=64", "model.encoder.num_points_in_pillar=2",
+         "data.occ_size=20,20,6", "data.batch_size_per_device=2",
+         "data.workers=2", "eval.occ_size=20,20,6", "eval.voxel_size=0.8",
+         "eval.pc_range=-8,-8,-1,8,8,3.8"],
+        env=env, capture_output=True, text=True, timeout=1800)
+    assert r.returncode == 0, r.stderr[-3000:] + r.stdout[-1000:]
+    blob = r.stdout + r.stderr
+    assert "autoscale-lr" in blob
+    with open(os.path.join(work, "metrics.jsonl")) as f:
+        events = [json.loads(line) for line in f]
+    evals = [e for e in events if e.get("tag") == "eval"]
+    # dynamic interval '2:1': no eval after epoch 1, one after epoch 2
+    assert len(evals) == 1 and evals[0]["step"] == 4
+    assert np.isfinite(evals[0]["RayIoU"])
+    trains = [e for e in events if e.get("tag") == "train"]
+    assert trains and np.isfinite(trains[-1]["loss"])
+    assert trains[-1]["cert_overflow"] == 0
+
+
 def test_train_cli_temporal_queue(tmp_path):
     """tools/train.py --temporal-queue 2: video-runner training on scene
     clips from the on-disk miniset.  Runs in a 2-virtual-device subprocess

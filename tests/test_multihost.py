@@ -35,7 +35,7 @@ def test_allgather_and_barrier_single():
     parallel.barrier("t")
 
 
-def _run_two_process(mode, tmp_path, timeout):
+def _run_two_process(mode, tmp_path, timeout, extra=()):
     import socket
     import subprocess
     import sys as _sys
@@ -57,7 +57,8 @@ def _run_two_process(mode, tmp_path, timeout):
         p for p in env.get("PYTHONPATH", "").split(os.pathsep)
         if "axon" not in p)
     procs = [subprocess.Popen(
-        [_sys.executable, worker, str(port), str(pid), mode, str(tmp_path)],
+        [_sys.executable, worker, str(port), str(pid), mode, str(tmp_path),
+         *extra],
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
         env=env) for pid in range(2)]
     outs = []
@@ -89,6 +90,69 @@ def test_two_process_checkpoint(tmp_path):
     training/checkpoint.py::_to_global)."""
     outs = _run_two_process("ckpt", tmp_path, timeout=1200)
     assert "CKPT OK" in outs[0]
+
+
+# micro model + CUBIC 2 m eval grid shared by both runs of the cross-shard
+# video test (8x8x2 voxels over +/-8 m, -1..3 m)
+_VIDEO_OVERRIDES = [
+    "model.img_h=32", "model.img_w=32", "model.bev_h=8", "model.bev_w=8",
+    "model.pillar_h=2", "model.embed_dims=16", "model.out_dim=4",
+    "model.compute_dtype=float32", "model.pc_range=-8,-8,-1,8,8,3",
+    "model.encoder.num_layers=1", "model.encoder.ffn_dim=32",
+    "model.encoder.num_points_in_pillar=2",
+    "data.occ_size=8,8,2", "eval.occ_size=8,8,2", "eval.voxel_size=2.0",
+    "eval.pc_range=-8,-8,-1,8,8,3",
+]
+
+
+def test_two_process_video_cross_shard(tmp_path):
+    """tools/test.py --distributed --video with ONE scene spanning the
+    contiguous shard cut: proc1 starts a fresh temporal chain mid-scene
+    (the reference's per-GPU `prev_frame_info` behaviour).  Asserts the
+    2-process score stays within tolerance of single-process streaming —
+    bounding the mid-scene-reset cost (VERDICT r3 #8)."""
+    import importlib.util
+    import json
+    import sys as _sys
+
+    from tests.test_cli import _write_miniset
+
+    root = os.path.join(str(tmp_path), "data")
+    os.makedirs(root, exist_ok=True)
+    _write_miniset(root, 4, (32, 32), grid=(8, 8, 2), n_scenes=1)
+
+    # single-process streaming reference (same seed-0 init weights)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    work1 = os.path.join(str(tmp_path), "work1p")
+    old_argv = _sys.argv
+    _sys.argv = ["test.py", "--config", "tiny_occ", "--eval", "--video",
+                 "--work-dir", work1,
+                 "--set", f"data.data_root={root}",
+                 "data.val_ann=infos_val.pkl"] + _VIDEO_OVERRIDES
+    try:
+        spec = importlib.util.spec_from_file_location(
+            "occnet_test_cli_1p", os.path.join(repo, "tools", "test.py"))
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        mod.main()
+    finally:
+        _sys.argv = old_argv
+    with open(os.path.join(work1, "eval_results.json")) as f:
+        s1 = json.load(f)
+
+    outs = _run_two_process("videoshard", tmp_path, timeout=1800,
+                            extra=_VIDEO_OVERRIDES)
+    assert "VIDEO2P OK" in outs[0]
+    with open(os.path.join(str(tmp_path), "work2p",
+                           "eval_results.json")) as f:
+        s2 = json.load(f)
+    assert np.isfinite(s2["RayIoU"])
+    # frames 0-1 are bitwise-shared; only proc1's fresh chain at frame 2
+    # can move the score.  Bound the reset cost.
+    delta = abs(s2["RayIoU"] - s1["RayIoU"])
+    print(f"cross-shard reset cost: RayIoU {s1['RayIoU']:.4f} -> "
+          f"{s2['RayIoU']:.4f} (|delta| {delta:.4f})")
+    assert delta < 0.2, (s1, s2)
 
 
 def test_two_process_qshard(tmp_path):

@@ -63,6 +63,15 @@ def parse_args():
                         "mode results are NOT exact reference semantics; "
                         "raise model.encoder.sca.max_queries_per_cam "
                         "instead)")
+    p.add_argument("--no-auto-dcn-radius", dest="auto_dcn_radius",
+                   action="store_false",
+                   help="disable the window-DCN radius probe: by default, "
+                        "window-mode eval probes smaller radii (R=2 is ~15%% "
+                        "faster per DCN layer than R=3) on the first sample "
+                        "with the LOADED weights and keeps the smallest "
+                        "radius whose dcn_window_overflow certificate is 0; "
+                        "the per-frame certificate still aborts if any later "
+                        "frame overflows")
     p.add_argument("--msda-impl", default="auto",
                    choices=("auto", "xla", "pallas"),
                    help="deformable-sampling implementation for exact/gather "
@@ -133,17 +142,19 @@ def main():
     m = cfg.model
     if (m.encoder.mode == "gather" and args.auto_topk
             and 0 < m.encoder.sca.max_queries_per_cam < m.bev_h * m.bev_w):
-        # Calibration-derived top-K: the rig is fixed per dataset, so one
-        # frame's projection bounds the compaction; the sca_topk_overflow
-        # hard failure below still catches any frame that exceeds it.
+        # Calibration-derived PER-CAMERA top-K: the rig is fixed per
+        # dataset, so one frame's projection bounds the compaction; the
+        # sca_topk_overflow hard failure below still catches any frame that
+        # exceeds it.  Narrow-FoV cameras get a smaller K_c than the widest
+        # one (cameras with equal K_c batch into one MSDA call).
         from occnet_tpu.geometry import calibration_topk
-        k_auto = calibration_topk(m, batch["ego2img"])
-        if k_auto != m.encoder.sca.max_queries_per_cam:
+        ks_auto = calibration_topk(m, batch["ego2img"], per_camera=True)
+        if not m.encoder.sca.per_cam_topk:
             cfg = apply_overrides(
-                cfg, {"model.encoder.sca.max_queries_per_cam": k_auto})
+                cfg, {"model.encoder.sca.per_cam_topk": ks_auto})
             if proc == 0:
-                print(f"auto top-K: max_queries_per_cam={k_auto} "
-                      f"(was {m.encoder.sca.max_queries_per_cam}; "
+                print(f"auto top-K: per_cam_topk={ks_auto} "
+                      f"(uniform was {m.encoder.sca.max_queries_per_cam}; "
                       "--no-auto-topk pins the configured value)")
     model, state = create_train_state(cfg, jax.random.PRNGKey(0), batch)
     if args.torch_checkpoint:
@@ -169,6 +180,37 @@ def main():
             print(f"loaded checkpoint step {int(state.step)}")
         else:
             print("WARNING: no checkpoint found — evaluating random init")
+
+    m = cfg.model
+    if (m.backbone.dcn_mode == "window" and args.auto_dcn_radius
+            and m.backbone.dcn_window_radius > 2):
+        # Certificate-driven automatic window radius (VERDICT r3 #4): the
+        # DCN offsets are functions of the LOADED weights, so probe the
+        # first sample at smaller radii and keep the smallest certified
+        # one.  Params are radius-independent (radius is a sampling
+        # hyperparameter), so only the config changes.
+        from occnet_tpu.models.detector import OccNet as _OccNet
+        for r in range(2, m.backbone.dcn_window_radius):
+            probe_cfg = apply_overrides(
+                cfg, {"model.backbone.dcn_window_radius": r})
+            probe = _OccNet(probe_cfg.model)
+            _, aux = jax.jit(lambda p, bs, i, e: probe.apply(
+                {"params": p, "batch_stats": bs}, _norm(i), e,
+                mutable=["intermediates"]))(
+                    state.params, state.batch_stats, batch["img"],
+                    batch["ego2img"])
+            ov = sum(
+                int(np.asarray(jax.device_get(x)).sum())
+                for path, x in jax.tree_util.tree_leaves_with_path(
+                    aux.get("intermediates", {}))
+                if any("dcn_window_overflow" in str(k) for k in path))
+            if ov == 0:
+                cfg, model = probe_cfg, probe
+                if proc == 0:
+                    print(f"auto DCN radius: R={r} certified on sample 0 "
+                          f"(configured {m.backbone.dcn_window_radius}; "
+                          "--no-auto-dcn-radius pins it)")
+                break
 
     def _fwd(p, bs, i, e):
         # mutable=['intermediates'] collects the exactness certificates:

@@ -53,6 +53,16 @@ def parse_args():
     p.add_argument("--eval-interval-epochs", type=int, default=0,
                    help="run ray-metric evaluation on the val split every N "
                         "epochs (the reference's eval hook; 0 = off)")
+    p.add_argument("--eval-dynamic-intervals", default="",
+                   metavar="EPOCH:N[,EPOCH:N...]",
+                   help="change the eval interval once training reaches an "
+                        "epoch milestone, e.g. '20:1' = every epoch from "
+                        "epoch 20 (the reference's dynamic_intervals, "
+                        "core/evaluation/eval_hooks.py:38-52)")
+    p.add_argument("--autoscale-lr", action="store_true",
+                   help="scale optim.lr by data-parallel size / 8 — the "
+                        "reference's 8-GPU linear-scaling rule "
+                        "(tools/train.py:159-161)")
     p.add_argument("--temporal-queue", type=int, default=0,
                    help="train the temporal (video) path on N-frame scene "
                         "clips: frames 0..N-2 produce the history BEV "
@@ -72,7 +82,15 @@ def parse_args():
     return p.parse_args()
 
 
-def make_synthetic_batch(cfg, batch_size, rng):
+def make_synthetic_batch(cfg, batch_size, rng, rig="ring"):
+    """Random batch with a fabricated camera rig.
+
+    rig="ring": symmetric ring, every camera f = w/2 (90-degree hfov).
+    rig="nuscenes": the asymmetric FoV layout of the real nuScenes rig —
+    five ~70-degree cameras (f = (w/2)/tan(35deg)) + one 110-degree back
+    camera (f = (w/2)/tan(55deg)) — the workload where per-camera top-K
+    pays off (narrow cameras see far fewer BEV queries than the back one).
+    """
     import jax.numpy as jnp
     m = cfg.model
     img = rng.randn(batch_size, m.num_cams, m.img_h, m.img_w, 3)
@@ -82,8 +100,14 @@ def make_synthetic_batch(cfg, batch_size, rng):
         a = 2 * np.pi * ci / m.num_cams
         R = np.array([[np.cos(a), -np.sin(a), 0], [0, 0, -1],
                       [np.sin(a), np.cos(a), 0.0]])
-        K = np.array([[m.img_w / 2, 0, m.img_w / 2],
-                      [0, m.img_w / 2, m.img_h / 2], [0, 0, 1]])
+        if rig == "nuscenes":
+            # camera at 180 degrees is the wide back camera
+            back = (ci == m.num_cams // 2)
+            f = (m.img_w / 2) / np.tan(np.deg2rad(55.0 if back else 35.0))
+        else:
+            f = m.img_w / 2
+        K = np.array([[f, 0, m.img_w / 2],
+                      [0, f, m.img_h / 2], [0, 0, 1]])
         ego2img[:, ci, :3, :3] = K @ R
     sem = rng.randint(0, 17, size=(batch_size, m.bev_w, m.bev_h, m.pillar_h))
     flow = rng.randn(batch_size, m.bev_w, m.bev_h, m.pillar_h, 2)
@@ -131,7 +155,27 @@ def main():
     mesh = make_mesh(cfg.parallel.dp, cfg.parallel.mp)
     n_dp = mesh.shape["data"]
     global_batch = cfg.data.batch_size_per_device * n_dp
+    if args.autoscale_lr:
+        # linear-scaling rule against the reference's 8-GPU recipe
+        # (`tools/train.py:159-161`: lr * n_gpus / 8)
+        scaled = cfg.optim.lr * n_dp / 8.0
+        cfg = apply_overrides(cfg, {"optim.lr": scaled})
+        log.info("autoscale-lr: %.3e (dp=%d)", scaled, n_dp)
     rng = np.random.RandomState(args.seed)
+
+    # dynamic eval intervals: sorted (milestone_epoch, interval) pairs; the
+    # interval in force is the last milestone reached
+    dyn_eval = sorted(
+        (int(m), int(i)) for m, i in
+        (kv.split(":") for kv in args.eval_dynamic_intervals.split(",")
+         if kv))
+
+    def eval_interval_at(epoch: int) -> int:
+        iv = args.eval_interval_epochs
+        for m, i in dyn_eval:
+            if epoch + 1 >= m:
+                iv = i
+        return iv
 
     temporal = args.temporal_queue and args.temporal_queue > 1
     if temporal and args.device_normalize:
@@ -149,7 +193,7 @@ def main():
         dataset = SyntheticOccDataset(
             cfg.data, cfg.model, args.synthetic_geometric, seed=1000,
             training=True, log=log.info)
-        if args.eval_interval_epochs:
+        if args.eval_interval_epochs or args.eval_dynamic_intervals:
             val_dataset = SyntheticOccDataset(
                 cfg.data, cfg.model,
                 max(8, args.synthetic_geometric // 16), seed=0,
@@ -315,9 +359,11 @@ def main():
             # is made durable by the `ckpt.wait()` below before exit
             ckpt.save(step + 1, state, cfg)
             log.info("checkpoint @ step %d", step + 1)
-        if (args.eval_interval_epochs and dataset is not None
-                and (step + 1) % (epoch_len * args.eval_interval_epochs)
-                == 0):
+        epoch_now = step // epoch_len
+        cur_iv = eval_interval_at(epoch_now)
+        if (cur_iv and dataset is not None
+                and (step + 1) % epoch_len == 0
+                and (epoch_now + 1) % cur_iv == 0):
             from occnet_tpu.training.eval_loop import run_evaluation
             if val_dataset is None:
                 val_dataset = NuSceneOccDataset(
@@ -331,6 +377,17 @@ def main():
                 events.write(step + 1, tag="eval", **scores)
     profiler.close()
     ckpt.wait()
+    try:
+        # best-effort peak-HBM report (unavailable on some backends)
+        stats = jax.local_devices()[0].memory_stats() or {}
+        peak = stats.get("peak_bytes_in_use")
+        if peak:
+            log.info("peak HBM: %.2f GiB", peak / 2 ** 30)
+            if events is not None:
+                events.write(total_steps, tag="hbm",
+                             peak_bytes_in_use=int(peak))
+    except Exception:  # noqa: BLE001
+        pass
     if events is not None:
         events.close()
     log.info("done: %d steps", total_steps - step0)
