@@ -287,10 +287,17 @@ def synth_tiny_occ() -> OccNetConfig:
     The learnability A/B baseline for `synth_tiny_turbo_occ`."""
     cfg = tiny_occ()
     pc = (-20.0, -20.0, -1.0, 20.0, 20.0, 5.4)
-    model = dataclasses.replace(cfg.model, pc_range=pc)
+    model = dataclasses.replace(
+        cfg.model, pc_range=pc,
+        # trained FROM SCRATCH (no ImageNet checkpoint in this env): frozen
+        # random stem + norm_eval BN (identity stats) would freeze garbage
+        # features — unfreeze everything and let BN learn its statistics
+        backbone=dataclasses.replace(cfg.model.backbone, frozen_stages=-1,
+                                     norm_eval=False))
     ev = dataclasses.replace(cfg.eval, voxel_size=0.8, occ_size=(50, 50, 8),
                              pc_range=pc)
-    optim = dataclasses.replace(cfg.optim, warmup_iters=200)
+    optim = dataclasses.replace(cfg.optim, warmup_iters=200,
+                                backbone_lr_mult=1.0)
     return dataclasses.replace(cfg, model=model, eval=ev, optim=optim)
 
 

@@ -217,7 +217,7 @@ class SyntheticOccDataset:
     def __init__(self, data_cfg: DataConfig, model_cfg: ModelConfig,
                  n_samples: int, seed: int = 0, training: bool = True,
                  num_boxes: Tuple[int, int] = (5, 11),
-                 size_divisor: int = 32, log=None):
+                 size_divisor: int = 32, render_scale: int = 1, log=None):
         import jax
         import jax.numpy as jnp
 
@@ -233,7 +233,16 @@ class SyntheticOccDataset:
                 f"synthetic benchmark needs cubic voxels, got xy={vs_xy} "
                 f"z={vs_z}; pick pc_range/occ_size accordingly")
         img_hw = (model_cfg.img_h, model_cfg.img_w)
+        # render_scale > 1: ray-cast at reduced resolution and pixel-repeat
+        # up to the model size — cuts DDA cost by scale^2 (base-scale
+        # 928x1600x6 is ~9M rays/scene otherwise); colours are voxel-blocky
+        # anyway so the upsample costs little signal
+        if img_hw[0] % render_scale or img_hw[1] % render_scale:
+            raise ValueError(f"render_scale {render_scale} must divide "
+                             f"img {img_hw}")
+        low_hw = (img_hw[0] // render_scale, img_hw[1] // render_scale)
         rig = ring_camera_rig(model_cfg.num_cams, img_hw)
+        rig_low = ring_camera_rig(model_cfg.num_cams, low_hw)
         self.ego2img = rig["ego2img"]
         palette = jnp.asarray(class_palette())
         max_steps = sum(occ_size) + 4
@@ -243,9 +252,12 @@ class SyntheticOccDataset:
         for i in range(n_samples):
             sem, flow = make_scene(seed + i, occ_size, num_boxes)
             imgs = np.asarray(jax.device_get(render_views(
-                jnp.asarray(sem), jnp.asarray(rig["R"]),
-                jnp.asarray(rig["t"]), jnp.asarray(rig["K"]), palette,
-                img_hw, pc_range, max_steps)))
+                jnp.asarray(sem), jnp.asarray(rig_low["R"]),
+                jnp.asarray(rig_low["t"]), jnp.asarray(rig_low["K"]),
+                palette, low_hw, pc_range, max_steps)))
+            if render_scale > 1:
+                imgs = imgs.repeat(render_scale, axis=1).repeat(
+                    render_scale, axis=2)
             self.samples.append((imgs, sem, flow))
             tok = f"synth-{seed + i}"
             self.infos.append({

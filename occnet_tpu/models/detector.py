@@ -45,6 +45,7 @@ class OccNet(nn.Module):
                 dcn_stages=c.backbone.dcn_stages,
                 dcn_mode=c.backbone.dcn_mode,
                 dcn_window_radius=c.backbone.dcn_window_radius,
+                norm_eval=c.backbone.norm_eval,
                 dtype=self.dtype, name="backbone")
         # FPN channels are coupled to the transformer width (the reference's
         # `_dim_` ties them, config :36,61).
@@ -64,7 +65,8 @@ class OccNet(nn.Module):
         if train and self.cfg.use_grid_mask:
             x = grid_mask(self.make_rng("grid_mask"), x,
                           prob=self.cfg.grid_mask_prob)
-        feats = self.backbone(x)
+        feats = (self.backbone(x, train=train)
+                 if isinstance(self.backbone, ResNet) else self.backbone(x))
         feats = self.neck(feats)
         return [f.reshape(b, n_cam, *f.shape[1:]) for f in feats]
 

@@ -49,6 +49,44 @@ class FrozenBatchNorm(nn.Module):
         return x * mul + add
 
 
+class TrainableBatchNorm(nn.Module):
+    """Standard BatchNorm (batch statistics in training, running averages in
+    eval, torch momentum 0.1) with the SAME param/stat names as
+    `FrozenBatchNorm`, so the two are checkpoint-compatible.  Used when the
+    backbone config sets `norm_eval=False` — essential when training FROM
+    SCRATCH (no ImageNet checkpoint): frozen identity statistics leave a
+    50-layer trunk with no real normalisation."""
+    features: int
+    eps: float = 1e-5
+    momentum: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        ra_mean = self.variable(
+            "batch_stats", "mean",
+            lambda: jnp.zeros((self.features,), jnp.float32))
+        ra_var = self.variable(
+            "batch_stats", "var",
+            lambda: jnp.ones((self.features,), jnp.float32))
+        if train:
+            xf = x.astype(jnp.float32).reshape(-1, self.features)
+            mean = xf.mean(axis=0)
+            var = xf.var(axis=0)
+            if not self.is_initializing():
+                m = self.momentum
+                ra_mean.value = (1 - m) * ra_mean.value + m * mean
+                ra_var.value = (1 - m) * ra_var.value + m * var
+        else:
+            mean, var = ra_mean.value, ra_var.value
+        mul = (scale * jax.lax.rsqrt(var + self.eps)).astype(self.dtype)
+        add = (bias - mean * scale * jax.lax.rsqrt(var + self.eps)).astype(
+            self.dtype)
+        return x * mul + add
+
+
 class Bottleneck(nn.Module):
     """1x1 -> 3x3(stride) -> 1x1 bottleneck with identity/projection shortcut
     ("pytorch style": stride on the middle conv, like torchvision).  With
@@ -59,18 +97,26 @@ class Bottleneck(nn.Module):
     dcn: bool = False
     dcn_mode: str = "gather"
     dcn_window_radius: int = 3
+    norm_eval: bool = True
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         out_ch = self.mid * 4
         conv = lambda f, k, s, name: nn.Conv(  # noqa: E731
             f, (k, k), strides=(s, s), padding=[(k // 2, k // 2)] * 2,
             use_bias=False, dtype=self.dtype, name=name,
             kernel_init=nn.initializers.he_normal())
+
+        def bn(y, feat, name):
+            if self.norm_eval:
+                return FrozenBatchNorm(feat, dtype=self.dtype, name=name)(y)
+            return TrainableBatchNorm(feat, dtype=self.dtype, name=name)(
+                y, train=train)
+
         identity = x
         y = conv(self.mid, 1, 1, "conv1")(x)
-        y = FrozenBatchNorm(self.mid, dtype=self.dtype, name="bn1")(y)
+        y = bn(y, self.mid, "bn1")
         y = nn.relu(y)
         if self.dcn:
             from occnet_tpu.ops.deform_conv import ModulatedDeformConv
@@ -80,14 +126,13 @@ class Bottleneck(nn.Module):
                                     dtype=self.dtype, name="conv2")(y)
         else:
             y = conv(self.mid, 3, self.stride, "conv2")(y)
-        y = FrozenBatchNorm(self.mid, dtype=self.dtype, name="bn2")(y)
+        y = bn(y, self.mid, "bn2")
         y = nn.relu(y)
         y = conv(out_ch, 1, 1, "conv3")(y)
-        y = FrozenBatchNorm(out_ch, dtype=self.dtype, name="bn3")(y)
+        y = bn(y, out_ch, "bn3")
         if identity.shape[-1] != out_ch or self.stride != 1:
             identity = conv(out_ch, 1, self.stride, "downsample_conv")(x)
-            identity = FrozenBatchNorm(
-                out_ch, dtype=self.dtype, name="downsample_bn")(identity)
+            identity = bn(identity, out_ch, "downsample_bn")
         return nn.relu(y + identity)
 
 
@@ -104,15 +149,21 @@ class ResNet(nn.Module):
     # shift-window Pallas kernel with an exactness certificate)
     dcn_mode: str = "gather"
     dcn_window_radius: int = 3
+    norm_eval: bool = True
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> Sequence[jax.Array]:
+    def __call__(self, x: jax.Array,
+                 train: bool = False) -> Sequence[jax.Array]:
         blocks = STAGE_BLOCKS[self.depth]
         x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
                     use_bias=False, dtype=self.dtype, name="conv1",
                     kernel_init=nn.initializers.he_normal())(x)
-        x = FrozenBatchNorm(64, dtype=self.dtype, name="bn1")(x)
+        if self.norm_eval:
+            x = FrozenBatchNorm(64, dtype=self.dtype, name="bn1")(x)
+        else:
+            x = TrainableBatchNorm(64, dtype=self.dtype, name="bn1")(
+                x, train=train)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
 
@@ -131,8 +182,9 @@ class ResNet(nn.Module):
                                dcn=self.dcn_stages[stage],
                                dcn_mode=self.dcn_mode,
                                dcn_window_radius=self.dcn_window_radius,
+                               norm_eval=self.norm_eval,
                                dtype=self.dtype,
-                               name=f"layer{stage + 1}_{b}")(x)
+                               name=f"layer{stage + 1}_{b}")(x, train=train)
             if stage + 1 <= self.frozen_stages:
                 x = jax.lax.stop_gradient(x)
             if stage in self.out_indices:

@@ -84,6 +84,16 @@ def test_dataset_protocol_and_eval_geometry():
     batch = ds.collate([ds.get_sample(i, rng) for i in range(2)])
     assert batch["img"].shape == (2, 2, *IMG_HW, 3)
 
+    # render_scale: low-res ray cast + pixel-repeat keeps the model shape
+    ds2 = SyntheticOccDataset(data, model, 1, seed=0, training=False,
+                              render_scale=2)
+    s2 = ds2.get_sample(0)
+    assert s2["img"].shape == (2, *IMG_HW, 3)
+    # 2x2 blocks are constant (pixel-repeat structure)
+    raw = ds2.samples[0][0]
+    assert (raw[:, ::2, ::2] == raw[:, 1::2, ::2]).all()
+    assert (raw[:, ::2, ::2] == raw[:, ::2, 1::2]).all()
+
     # ego-origin extraction: one valid origin at the ego centre per sample
     from occnet_tpu.evaluation.ego_pose import extract_ego_origins, \
         pad_origins

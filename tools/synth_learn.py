@@ -114,6 +114,32 @@ def run_arm(name, args, train_ds, val_ds):
                             val_ds)
     print(f"[{name}] final eval ({time.time() - t_eval:.0f}s): {scores}",
           flush=True)
+    # diagnostics: (a) train-split score separates memorisation-without-
+    # generalisation from never-fit; (b) per-class voxel counts on one val
+    # scene show WHICH classes the argmax ever predicts
+    train_scores = run_evaluation(cfg, model, state.params,
+                                  state.batch_stats, train_ds,
+                                  max_samples=min(16, len(train_ds)),
+                                  log=lambda *a: None)
+    print(f"[{name}] train-split eval: {train_scores}", flush=True)
+    import jax.numpy as jnp
+    from occnet_tpu.models.head import get_occ
+    from occnet_tpu.data.pipeline import make_device_normalizer
+    norm = make_device_normalizer(cfg.data)
+    s = val_ds.get_sample(0)
+    outs = model.apply({"params": state.params,
+                        "batch_stats": state.batch_stats},
+                       norm(jnp.asarray(s["img"][None])),
+                       jnp.asarray(s["ego2img"][None]))
+    occ_cls, _ = get_occ(outs)
+    pred = np.asarray(occ_cls[0]).reshape(-1)
+    gt = np.asarray(s["voxel_semantics"]).reshape(-1)
+    n_cls = int(cfg.model.num_classes)
+    pc = np.bincount(pred, minlength=n_cls)
+    gc = np.bincount(gt, minlength=n_cls)
+    print(f"[{name}] val scene 0 voxel counts (pred vs gt): "
+          + " ".join(f"c{i}:{pc[i]}/{gc[i]}" for i in range(n_cls)
+                     if pc[i] or gc[i]), flush=True)
     return {
         "config": name,
         "steps": args.steps,
@@ -125,6 +151,7 @@ def run_arm(name, args, train_ds, val_ds):
         "s_per_it": (t_eval - t_start) / args.steps,
         "cert_overflow_total": overflow_total,
         "scores": scores,
+        "train_scores": train_scores,
         "history": history,
     }
 
