@@ -46,6 +46,12 @@ class BackboneConfig:
     # via the `dcn_window_overflow` intermediate).
     dcn_mode: str = "gather"
     dcn_window_radius: int = 3
+    # Per-DCN-layer window radii (flat order of models/resnet.py
+    # `dcn_layer_indices`); () = dcn_window_radius everywhere.  Filled by
+    # the tools/test.py ONE-pass auto-radius probe: each layer runs at
+    # exactly the radius its loaded offsets need (`dcn_radius_needed`
+    # intermediate), still certified per batch by `dcn_window_overflow`.
+    dcn_window_radii: Tuple[int, ...] = ()
     # VoVNet variant spec name (used when type == "vovnet").
     vovnet_spec: str = "V-99-eSE"
 
@@ -383,7 +389,17 @@ def _convert(value: str, target: Any) -> Any:
         elems = [v for v in value.strip("()[]").split(",") if v]
         if len(target) > 0:
             return tuple(type(target[0])(e) for e in elems)
-        return tuple(elems)
+
+        # empty-default tuples (per_cam_topk, dcn_window_radii) carry no
+        # element type to copy: parse numerically where possible
+        def elem(e: str) -> Any:
+            for t in (int, float):
+                try:
+                    return t(e)
+                except ValueError:
+                    pass
+            return e
+        return tuple(elem(e) for e in elems)
     return value
 
 

@@ -45,6 +45,7 @@ class OccNet(nn.Module):
                 dcn_stages=c.backbone.dcn_stages,
                 dcn_mode=c.backbone.dcn_mode,
                 dcn_window_radius=c.backbone.dcn_window_radius,
+                dcn_window_radii=tuple(c.backbone.dcn_window_radii),
                 norm_eval=c.backbone.norm_eval,
                 dtype=self.dtype, name="backbone")
         # FPN channels are coupled to the transformer width (the reference's

@@ -24,6 +24,22 @@ STAGE_BLOCKS = {
 }
 
 
+def dcn_layer_indices(depth: int, dcn_stages: Sequence[bool]) -> dict:
+    """{block module name -> flat DCN-layer index} over every DCN block in
+    definition order — the indexing contract of `dcn_window_radii` (the
+    per-layer window radii; tools/test.py's auto-radius probe maps sown
+    `dcn_radius_needed` intermediates back through this)."""
+    out = {}
+    idx = 0
+    for stage, n in enumerate(STAGE_BLOCKS[depth]):
+        if not dcn_stages[stage]:
+            continue
+        for b in range(n):
+            out[f"layer{stage + 1}_{b}"] = idx
+            idx += 1
+    return out
+
+
 class FrozenBatchNorm(nn.Module):
     """BatchNorm that always normalises with stored running statistics
     (the `norm_eval=True` semantics of the reference backbone).  gamma/beta
@@ -149,6 +165,10 @@ class ResNet(nn.Module):
     # shift-window Pallas kernel with an exactness certificate)
     dcn_mode: str = "gather"
     dcn_window_radius: int = 3
+    # per-DCN-layer window radii (flat `dcn_layer_indices` order, e.g. the
+    # tools/test.py one-pass auto-radius probe output); None = the global
+    # dcn_window_radius for every layer
+    dcn_window_radii: Tuple[int, ...] = ()
     norm_eval: bool = True
     dtype: jnp.dtype = jnp.float32
 
@@ -175,13 +195,19 @@ class ResNet(nn.Module):
 
         outs = []
         mid = 64
+        dcn_idx = 0
         for stage, n_blocks in enumerate(blocks):
             for b in range(n_blocks):
                 stride = 2 if (b == 0 and stage > 0) else 1
+                radius = self.dcn_window_radius
+                if self.dcn_stages[stage]:
+                    if dcn_idx < len(self.dcn_window_radii):
+                        radius = self.dcn_window_radii[dcn_idx]
+                    dcn_idx += 1
                 x = Bottleneck(mid, stride=stride,
                                dcn=self.dcn_stages[stage],
                                dcn_mode=self.dcn_mode,
-                               dcn_window_radius=self.dcn_window_radius,
+                               dcn_window_radius=radius,
                                norm_eval=self.norm_eval,
                                dtype=self.dtype,
                                name=f"layer{stage + 1}_{b}")(x, train=train)

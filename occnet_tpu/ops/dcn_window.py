@@ -353,3 +353,26 @@ def window_supported(w: int, kernel: int, stride: int,
     """Static predicate: can this DCN layer use the window kernel?
     (stage-entry stride-2 blocks and >128-wide maps use the gather path)"""
     return kernel == 3 and stride == 1 and dilation == 1 and w <= _W
+
+
+def needed_radius(offset: jax.Array, h: int, w: int) -> jax.Array:
+    """Smallest window radius that makes the kernel EXACT for these offsets:
+    `max |floor(off)|` over samples whose bilinear support intersects the
+    image (the window is exact iff floor(off) ∈ [-R, R] for every such
+    sample; fully out-of-image samples contribute nothing in the reference
+    semantics either, so they never constrain R).  Sown per DCN layer as
+    `dcn_radius_needed` (ops/deform_conv.py) — the basis of the ONE-pass
+    per-layer auto-radius probe in tools/test.py.  Returns () int32."""
+    B, ho, wo, two_k = offset.shape
+    K = two_k // 2
+    off = offset.astype(jnp.float32).reshape(B, ho, wo, K, 2)
+    ky = jnp.repeat(jnp.arange(3, dtype=jnp.float32), 3)
+    kx = jnp.tile(jnp.arange(3, dtype=jnp.float32), 3)
+    iy = jnp.arange(ho, dtype=jnp.float32)[:, None, None]
+    jx = jnp.arange(wo, dtype=jnp.float32)[None, :, None]
+    py = (iy + (ky - 1.0)[None, None, :])[None] + off[..., 0]
+    px = (jx + (kx - 1.0)[None, None, :])[None] + off[..., 1]
+    contributes = (py > -1.0) & (py < h) & (px > -1.0) & (px < w)
+    f = jnp.maximum(jnp.abs(jnp.floor(off[..., 0])),
+                    jnp.abs(jnp.floor(off[..., 1])))
+    return jnp.max(jnp.where(contributes, f, 0.0)).astype(jnp.int32)

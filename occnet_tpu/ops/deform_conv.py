@@ -125,16 +125,21 @@ class ModulatedDeformConv(nn.Module):
             (self.kernel, self.kernel, x.shape[-1], self.features))
         bias = (self.param("bias", nn.initializers.zeros, (self.features,))
                 if self.use_bias else None)
-        if self.mode == "window":
-            from occnet_tpu.ops.dcn_window import (
-                modulated_deform_conv_window, window_supported)
-            if window_supported(x.shape[2], self.kernel, self.stride,
-                                self.dilation):
-                out, overflow = modulated_deform_conv_window(
-                    x, off, mask, weight.astype(self.dtype), bias,
-                    radius=self.window_radius)
-                self.sow("intermediates", "dcn_window_overflow", overflow)
-                return out
+        from occnet_tpu.ops.dcn_window import (
+            modulated_deform_conv_window, needed_radius, window_supported)
+        eligible = window_supported(x.shape[2], self.kernel, self.stride,
+                                    self.dilation)
+        if eligible:
+            # per-layer auto-radius statistic (dead code unless the caller
+            # collects intermediates — XLA removes it in plain inference)
+            self.sow("intermediates", "dcn_radius_needed",
+                     needed_radius(off, x.shape[1], x.shape[2]))
+        if self.mode == "window" and eligible:
+            out, overflow = modulated_deform_conv_window(
+                x, off, mask, weight.astype(self.dtype), bias,
+                radius=self.window_radius)
+            self.sow("intermediates", "dcn_window_overflow", overflow)
+            return out
         return modulated_deform_conv(
             x, off, mask, weight.astype(self.dtype), bias,
             stride=self.stride, dilation=self.dilation)

@@ -123,6 +123,62 @@ def test_test_cli_eval_and_submission(tmp_path, monkeypatch):
     assert set(payload["results"]) == {"tok0", "tok1", "tok2"}
 
 
+def test_overrides_parse_empty_default_tuples():
+    """CLI strings into empty-default tuple fields (per_cam_topk,
+    dcn_window_radii) parse NUMERICALLY, not as strings."""
+    from occnet_tpu.config import apply_overrides, get_config
+
+    cfg = apply_overrides(get_config("tiny_occ"), {
+        "model.backbone.dcn_window_radii": "1,0,2",
+        "model.encoder.sca.per_cam_topk": "(64,64,128)",
+    })
+    assert cfg.model.backbone.dcn_window_radii == (1, 0, 2)
+    assert cfg.model.encoder.sca.per_cam_topk == (64, 64, 128)
+
+
+def test_test_cli_auto_dcn_radius_probe(tmp_path, monkeypatch, capsys):
+    """Window-mode eval runs the ONE-pass per-layer radius probe: with
+    zero-init conv_offset every window-eligible layer needs R=0, the probe
+    reports per-layer radii, and eval completes with finite scores."""
+    from occnet_tpu.config import get_config
+
+    cfg = get_config("tiny_occ")
+    root = str(tmp_path / "data")
+    os.makedirs(root, exist_ok=True)
+    m = cfg.model
+    _write_miniset(root, 2, (m.img_h, m.img_w),
+                   grid=(m.bev_w, m.bev_h, m.pillar_h))
+
+    work = str(tmp_path / "work")
+    argv = ["test.py", "--config", "tiny_occ", "--eval",
+            "--work-dir", work, "--max-samples", "2",
+            "--set", f"data.data_root={root}", "data.val_ann=infos_val.pkl",
+            "model.backbone.dcn_stages=false,false,true,true",
+            "model.backbone.dcn_mode=window"]
+    monkeypatch.setattr(sys, "argv", argv)
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "occnet_test_cli_dcn", os.path.join(REPO, "tools", "test.py"))
+    test_mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(test_mod)
+    test_mod.main()
+
+    out = capsys.readouterr().out
+    assert "auto DCN radii" in out
+    # zero-init offsets: every probed layer needs radius 0
+    import re
+    radii = re.search(r"auto DCN radii \(per layer[^)]*\): \[([^\]]*)\]",
+                      out)
+    assert radii is not None
+    probed = [int(v) for v in radii.group(1).split(",")]
+    assert all(r == 0 for r in probed)
+
+    import json
+    with open(os.path.join(work, "eval_results.json")) as f:
+        scores = json.load(f)
+    assert all(np.isfinite(v) for v in scores.values())
+
+
 def test_ray_casting_and_metric_cli(tmp_path, monkeypatch):
     """Offline codepath: pred .npz dir + infos -> pred/GT pcd .gz ->
     metric CLI scores; GT-as-pred must score OccScore 1.0."""

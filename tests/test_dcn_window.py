@@ -135,6 +135,82 @@ def test_kernel_variants_agree(monkeypatch):
                                rtol=1e-5, atol=1e-5)
 
 
+def test_needed_radius_is_tight():
+    """`needed_radius` is exactly the smallest exact radius: certificate
+    clean at R=needed (and values match gather), nonzero at R=needed-1."""
+    from occnet_tpu.ops.dcn_window import needed_radius
+
+    x, offset, mask, weight = _rand_case(8, off_scale=2.0)
+    need = int(needed_radius(jnp.asarray(offset), 7, 9))
+    assert need >= 1
+    got, overflow = modulated_deform_conv_window(
+        jnp.asarray(x), jnp.asarray(offset), jnp.asarray(mask),
+        jnp.asarray(weight), radius=need)
+    want = modulated_deform_conv(
+        jnp.asarray(x), jnp.asarray(offset), jnp.asarray(mask),
+        jnp.asarray(weight))
+    assert int(overflow) == 0
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+    _, under = _sampled_window(jnp.asarray(x), jnp.asarray(offset),
+                               jnp.asarray(mask), need - 1)
+    assert int(under) > 0
+
+
+def test_zero_offsets_certify_radius_zero():
+    """The mmcv zero-init offset field needs R=0, and the kernel is exact
+    there (the cheapest possible window: S=2 slots per axis)."""
+    from occnet_tpu.ops.dcn_window import needed_radius
+
+    x, offset, mask, weight = _rand_case(9)
+    offset = np.zeros_like(offset)
+    assert int(needed_radius(jnp.asarray(offset), 7, 9)) == 0
+    got, overflow = modulated_deform_conv_window(
+        jnp.asarray(x), jnp.asarray(offset), jnp.asarray(mask),
+        jnp.asarray(weight), radius=0)
+    want = modulated_deform_conv(
+        jnp.asarray(x), jnp.asarray(offset), jnp.asarray(mask),
+        jnp.asarray(weight))
+    assert int(overflow) == 0
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_dcn_layer_indices_map():
+    from occnet_tpu.models.resnet import dcn_layer_indices
+    idx = dcn_layer_indices(50, (False, False, True, True))
+    assert idx == {"layer3_0": 0, "layer3_1": 1, "layer3_2": 2,
+                   "layer3_3": 3, "layer3_4": 4, "layer3_5": 5,
+                   "layer4_0": 6, "layer4_1": 7, "layer4_2": 8}
+
+
+def test_backbone_per_layer_radii_and_needed_sow():
+    """Per-layer `dcn_window_radii` plumb through ResNet, and every
+    window-eligible DCN layer sows `dcn_radius_needed` (zero for the
+    zero-init offsets) — the contract of tools/test.py's one-pass probe."""
+    from occnet_tpu.models.resnet import ResNet
+    model = ResNet(depth=50, out_indices=(1, 2, 3),
+                   dcn_stages=(False, False, True, True),
+                   dcn_mode="window", dcn_window_radius=3,
+                   dcn_window_radii=(1, 0, 2, 1, 0, 1, 2, 0, 1),
+                   dtype=jnp.float32)
+    x = jnp.asarray(np.random.RandomState(5).randn(1, 64, 96, 3),
+                    jnp.float32)
+    vars_ = model.init({"params": jax.random.PRNGKey(0)}, x)
+    outs, aux = model.apply(vars_, x, mutable=["intermediates"])
+    over = [(p, l) for p, l in
+            jax.tree_util.tree_leaves_with_path(aux["intermediates"])
+            if any("dcn_window_overflow" in str(k) for k in p)]
+    need = [(p, l) for p, l in
+            jax.tree_util.tree_leaves_with_path(aux["intermediates"])
+            if any("dcn_radius_needed" in str(k) for k in p)]
+    # 9 DCN blocks; the two stride-2 entry blocks use the gather path
+    assert len(over) == 7 and len(need) == 7
+    assert all(int(l) == 0 for _, l in over)
+    assert all(int(l) == 0 for _, l in need)
+    assert all(np.isfinite(np.asarray(o)).all() for o in outs)
+
+
 @pytest.mark.parametrize("radius", [1, 4])
 def test_window_radii(radius):
     x, offset, mask, weight = _rand_case(4)

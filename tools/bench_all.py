@@ -84,7 +84,7 @@ def main():
         return cfg, model, variables, batch
 
     def infer_case(config, batch_size=1, rig="ring", auto_topk=False,
-                   **overrides):
+                   certify=False, **overrides):
         def run():
             cfg = get_config(config)
             if overrides:
@@ -106,13 +106,18 @@ def main():
                 {"params": jax.random.PRNGKey(0)},
                 batch["img"], batch["ego2img"])
             jfn = jax.jit(lambda v, i, e: model.apply(v, i, e))
-            if auto_topk:
-                # certify: the compaction dropped nothing for this rig
+            if auto_topk or certify:
+                # certify: the fast path (top-K compaction / window DCN)
+                # dropped nothing for this rig + these weights
                 _, aux = model.apply(variables, batch["img"],
                                      batch["ego2img"],
                                      mutable=["intermediates"])
-                ov = sum(int(np.asarray(x).sum()) for x in
-                         jax.tree_util.tree_leaves(aux["intermediates"]))
+                ov = sum(
+                    int(np.asarray(x).sum())
+                    for path, x in jax.tree_util.tree_leaves_with_path(
+                        aux["intermediates"])
+                    if any("_overflow" in str(getattr(k, "key", k))
+                           for k in path))
                 extra["cert_overflow"] = ov
             dt = timeit(lambda: jfn(variables, batch["img"],
                                     batch["ego2img"]))
@@ -223,6 +228,11 @@ def main():
         ("base_occ exact train step", train_case("base_occ", iters=3)),
         ("r101_dcn_occ inference", infer_case("r101_dcn_occ", **pallas)),
         ("turbo_r101_dcn_occ inference", infer_case("turbo_r101_dcn_occ")),
+        # R=2 = what tools/test.py's auto radius probe certifies on
+        # near-init offsets (the certificate is re-checked here)
+        ("turbo_r101_dcn_occ inference (R=2 certified)",
+         infer_case("turbo_r101_dcn_occ", certify=True,
+                    **{"model.backbone.dcn_window_radius": 2})),
         ("r101_dcn_occ train step", train_case("r101_dcn_occ", iters=3)),
         ("turbo_r101_dcn_occ train step",
          train_case("turbo_r101_dcn_occ", iters=3)),
