@@ -27,6 +27,7 @@ a scalar `voxel_size` (see `evaluation/ray_metrics.py`).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Dict, Optional, Sequence, Tuple
 
 import jax
@@ -217,7 +218,8 @@ class SyntheticOccDataset:
     def __init__(self, data_cfg: DataConfig, model_cfg: ModelConfig,
                  n_samples: int, seed: int = 0, training: bool = True,
                  num_boxes: Tuple[int, int] = (5, 11),
-                 size_divisor: int = 32, render_scale: int = 1, log=None):
+                 size_divisor: int = 32, render_scale: int = 1, log=None,
+                 cache_dir: Optional[str] = None):
         import jax
         import jax.numpy as jnp
 
@@ -244,21 +246,53 @@ class SyntheticOccDataset:
         rig = ring_camera_rig(model_cfg.num_cams, img_hw)
         rig_low = ring_camera_rig(model_cfg.num_cams, low_hw)
         self.ego2img = rig["ego2img"]
-        palette = jnp.asarray(class_palette())
-        max_steps = sum(occ_size) + 4
 
-        self.samples = []
+        # on-disk scene cache: rendering is the expensive phase (~1 s/scene
+        # on the TPU, far slower on CPU) and is a pure function of the key
+        # below — reruns of tools/synth_learn.py (and tunnel-flap restarts)
+        # skip straight to training
+        cache = None
+        if cache_dir is not None:
+            import hashlib
+            key = repr((n_samples, seed, occ_size, img_hw, num_boxes,
+                        tuple(pc_range), model_cfg.num_cams, render_scale))
+            cache = os.path.join(
+                cache_dir,
+                f"scenes-{hashlib.sha1(key.encode()).hexdigest()[:16]}.npz")
+        if cache is not None and os.path.exists(cache):
+            z = np.load(cache)
+            self.samples = [(z["imgs"][i], z["sem"][i], z["flow"][i])
+                            for i in range(n_samples)]
+            if log is not None:
+                log(f"synthetic scenes: {n_samples} loaded from {cache}")
+        else:
+            palette = jnp.asarray(class_palette())
+            max_steps = sum(occ_size) + 4
+            self.samples = []
+            for i in range(n_samples):
+                sem, flow = make_scene(seed + i, occ_size, num_boxes)
+                imgs = np.asarray(jax.device_get(render_views(
+                    jnp.asarray(sem), jnp.asarray(rig_low["R"]),
+                    jnp.asarray(rig_low["t"]), jnp.asarray(rig_low["K"]),
+                    palette, low_hw, pc_range, max_steps)))
+                if render_scale > 1:
+                    imgs = imgs.repeat(render_scale, axis=1).repeat(
+                        render_scale, axis=2)
+                self.samples.append((imgs, sem, flow))
+                if log is not None and (i + 1) % 32 == 0:
+                    log(f"synthetic scenes: {i + 1}/{n_samples}")
+            if cache is not None:
+                os.makedirs(cache_dir, exist_ok=True)
+                np.savez_compressed(
+                    cache,
+                    imgs=np.stack([s[0] for s in self.samples]),
+                    sem=np.stack([s[1] for s in self.samples]),
+                    flow=np.stack([s[2] for s in self.samples]))
+                if log is not None:
+                    log(f"synthetic scenes: cached to {cache}")
+
         self.infos = []
         for i in range(n_samples):
-            sem, flow = make_scene(seed + i, occ_size, num_boxes)
-            imgs = np.asarray(jax.device_get(render_views(
-                jnp.asarray(sem), jnp.asarray(rig_low["R"]),
-                jnp.asarray(rig_low["t"]), jnp.asarray(rig_low["K"]),
-                palette, low_hw, pc_range, max_steps)))
-            if render_scale > 1:
-                imgs = imgs.repeat(render_scale, axis=1).repeat(
-                    render_scale, axis=2)
-            self.samples.append((imgs, sem, flow))
             tok = f"synth-{seed + i}"
             self.infos.append({
                 "token": tok,
@@ -268,8 +302,6 @@ class SyntheticOccDataset:
                 "lidar2ego_translation": (0.0, 0.0, 0.0),
                 "lidar2ego_rotation": (1.0, 0.0, 0.0, 0.0),
             })
-            if log is not None and (i + 1) % 32 == 0:
-                log(f"synthetic scenes: {i + 1}/{n_samples}")
 
     def __len__(self):
         return len(self.samples)

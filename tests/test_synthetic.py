@@ -3,6 +3,7 @@ geometric consistency, dataset protocol, and the parameterized ray-metric
 geometry (cubic tiny grid) round-tripping GT-vs-GT at RayIoU == 1.0."""
 
 import dataclasses
+import os
 
 import numpy as np
 
@@ -119,3 +120,25 @@ def test_dataset_protocol_and_eval_geometry():
     scores = occ_score_from_metrics(acc.finalize())
     assert abs(scores["RayIoU"] - 1.0) < 1e-6
     assert scores["mAVE"] == 0.0 or np.isnan(scores["mAVE"])
+
+
+def test_dataset_scene_cache_roundtrip(tmp_path):
+    """cache_dir: second construction loads bit-identical scenes from disk
+    without rendering (the tunnel-flap restart path of tools/synth_learn.py)."""
+    cfg = synth_tiny_occ()
+    model = dataclasses.replace(
+        cfg.model, img_h=IMG_HW[0], img_w=IMG_HW[1], num_cams=2,
+        pc_range=PC_RANGE)
+    data = dataclasses.replace(cfg.data, occ_size=OCC_SIZE)
+    d = str(tmp_path)
+    ds1 = SyntheticOccDataset(data, model, 2, seed=3, cache_dir=d)
+    files = [f for f in os.listdir(d) if f.endswith(".npz")]
+    assert len(files) == 1
+    ds2 = SyntheticOccDataset(data, model, 2, seed=3, cache_dir=d)
+    for a, b in zip(ds1.samples, ds2.samples):
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(x, y)
+    assert ds1.infos == ds2.infos
+    # a different seed must MISS the cache (distinct key -> second file)
+    SyntheticOccDataset(data, model, 2, seed=4, cache_dir=d)
+    assert len([f for f in os.listdir(d) if f.endswith(".npz")]) == 2

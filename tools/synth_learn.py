@@ -40,6 +40,9 @@ def parse_args():
                    help="also evaluate mid-training every N steps (0 = only "
                         "at the end)")
     p.add_argument("--out", default="SYNTH_BENCH.json")
+    p.add_argument("--cache-dir", default="/root/repo/.synth_cache",
+                   help="scene-render cache ('' disables): reruns skip the "
+                        "~1 s/scene TPU render phase entirely")
     p.add_argument("--set", nargs="*", default=[], metavar="KEY=VAL")
     return p.parse_args()
 
@@ -168,11 +171,13 @@ def main():
     cfg0 = get_config(names[0])
     print(f"generating {args.scenes}+{args.val_scenes} scenes...", flush=True)
     t0 = time.time()
+    cache = args.cache_dir or None
     train_ds = SyntheticOccDataset(cfg0.data, cfg0.model, args.scenes,
                                    seed=1000, training=True,
-                                   log=lambda s: print(s, flush=True))
+                                   log=lambda s: print(s, flush=True),
+                                   cache_dir=cache)
     val_ds = SyntheticOccDataset(cfg0.data, cfg0.model, args.val_scenes,
-                                 seed=0, training=False)
+                                 seed=0, training=False, cache_dir=cache)
     print(f"scenes in {time.time() - t0:.0f}s", flush=True)
 
     results = [run_arm(n, args, train_ds, val_ds) for n in names]
