@@ -89,11 +89,23 @@ def occ_flow_loss(
     # branch never assigns loss_flow (`bevformer_occ_head.py:184-190`, a
     # latent UnboundLocalError — dead code, configs ship use_mask=False);
     # this implements the evidently-intended masked flow L1.
+    # mmdet `CrossEntropyLoss(class_weight=...)` semantics (torch
+    # F.cross_entropy): per-voxel loss scaled by weight[label], mean
+    # normalised by the weight sum.  () = the shipped configs' unweighted CE.
+    if loss_cfg.class_weights:
+        cw = jnp.asarray(loss_cfg.class_weights, jnp.float32)
+        w = cw[labels]
+    else:
+        w = None
     if loss_cfg.use_mask and mask_camera is not None:
         m = mask_camera.reshape(-1).astype(jnp.float32)
+        wm = m if w is None else w * m
+        loss_occ = (ce * wm).sum() / jnp.maximum(wm.sum(), 1.0)
         denom = jnp.maximum(m.sum(), 1.0)
-        loss_occ = (ce * m).sum() / denom
         loss_flow = (l1.reshape(-1, 2) * m[:, None]).sum() / (denom * 2.0)
+    elif w is not None:
+        loss_occ = (ce * w).sum() / jnp.maximum(w.sum(), 1e-6)
+        loss_flow = l1.mean()
     else:
         loss_occ = ce.mean()
         loss_flow = l1.mean()

@@ -72,6 +72,34 @@ def test_loss_finite(setup):
     assert abs(float(l_occ) - np.log(17)) < 1.0
 
 
+def test_class_weighted_ce():
+    """`LossConfig.class_weights` matches torch F.cross_entropy(weight=...)
+    semantics: sum(w[y]*ce) / sum(w[y]); () stays the plain mean."""
+    import torch
+    import torch.nn.functional as F
+    from occnet_tpu.config import LossConfig
+    rng = np.random.RandomState(0)
+    n_cls, n = 5, 64
+    logits = rng.randn(1, 4, 4, 4, n_cls).astype(np.float32)
+    labels = rng.randint(0, n_cls, (1, 4, 4, 4)).astype(np.int32)
+    flow = np.zeros((1, 4, 4, 4, 2), np.float32)
+    w = (0.1, 1.0, 5.0, 2.0, 0.5)
+    got, _ = occ_flow_loss(jnp.asarray(logits), jnp.asarray(flow),
+                           jnp.asarray(labels), jnp.asarray(flow),
+                           LossConfig(class_weights=w))
+    want = F.cross_entropy(torch.from_numpy(logits.reshape(n, n_cls)),
+                           torch.from_numpy(labels.reshape(n)).long(),
+                           weight=torch.tensor(w))
+    np.testing.assert_allclose(float(got), float(want), rtol=1e-5)
+    plain, _ = occ_flow_loss(jnp.asarray(logits), jnp.asarray(flow),
+                             jnp.asarray(labels), jnp.asarray(flow),
+                             LossConfig())
+    want_plain = F.cross_entropy(
+        torch.from_numpy(logits.reshape(n, n_cls)),
+        torch.from_numpy(labels.reshape(n)).long())
+    np.testing.assert_allclose(float(plain), float(want_plain), rtol=1e-5)
+
+
 def test_only_bev_and_temporal(setup):
     cfg, model, params, img, ego2img = setup
     prev = model.apply(params, img, ego2img, only_bev=True)

@@ -129,20 +129,21 @@ def run_arm(name, args, train_ds, val_ds):
     from occnet_tpu.models.head import get_occ
     from occnet_tpu.data.pipeline import make_device_normalizer
     norm = make_device_normalizer(cfg.data)
-    s = val_ds.get_sample(0)
-    outs = model.apply({"params": state.params,
-                        "batch_stats": state.batch_stats},
-                       norm(jnp.asarray(s["img"][None])),
-                       jnp.asarray(s["ego2img"][None]))
-    occ_cls, _ = get_occ(outs)
-    pred = np.asarray(occ_cls[0]).reshape(-1)
-    gt = np.asarray(s["voxel_semantics"]).reshape(-1)
+    infer = jax.jit(lambda p, bs, i, e: get_occ(model.apply(
+        {"params": p, "batch_stats": bs}, norm(i), e))[0])
     n_cls = int(cfg.model.num_classes)
-    pc = np.bincount(pred, minlength=n_cls)
-    gc = np.bincount(gt, minlength=n_cls)
-    print(f"[{name}] val scene 0 voxel counts (pred vs gt): "
-          + " ".join(f"c{i}:{pc[i]}/{gc[i]}" for i in range(n_cls)
-                     if pc[i] or gc[i]), flush=True)
+    for split, ds in (("val", val_ds), ("train", train_ds)):
+        s = ds.get_sample(0)
+        occ_cls = infer(state.params, state.batch_stats,
+                        jnp.asarray(s["img"][None]),
+                        jnp.asarray(s["ego2img"][None]))
+        pred = np.asarray(occ_cls[0]).reshape(-1)
+        gt = np.asarray(s["voxel_semantics"]).reshape(-1)
+        pc = np.bincount(pred, minlength=n_cls)
+        gc = np.bincount(gt, minlength=n_cls)
+        print(f"[{name}] {split} scene 0 voxel counts (pred vs gt): "
+              + " ".join(f"c{i}:{pc[i]}/{gc[i]}" for i in range(n_cls)
+                         if pc[i] or gc[i]), flush=True)
     return {
         "config": name,
         "steps": args.steps,
