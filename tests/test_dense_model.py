@@ -67,6 +67,35 @@ def test_turbo_forward(turbo_setup):
     assert "deformable_attention" not in layer["cross_attn"]
 
 
+def test_turbo_eval_impl_parity_b1_b2(turbo_setup):
+    """Eval-mode turbo forward must be identical (to accumulation tolerance)
+    across lift/tap kernel implementations AND batch sizes: the r4 synthetic
+    A/B trained at B=2 (pallas on TPU) but evaluated at B=1, and the op-level
+    parity tests alone never covered the full-model integration.  Each B=2
+    row 0 must also match the corresponding B=1 forward (no batch mixing)."""
+    cfg, model, params, img, ego2img = turbo_setup
+    img2 = jnp.concatenate([img, img * 0.5 + 0.1], axis=0)
+    e2i2 = jnp.concatenate([ego2img, ego2img], axis=0)
+
+    outs = {}
+    for lift in ("einsum", "pallas"):
+        for tap in ("xla", "pallas"):
+            c = dataclasses.replace(
+                cfg, encoder=dataclasses.replace(
+                    cfg.encoder, lift_impl=lift,
+                    tsa=dataclasses.replace(cfg.encoder.tsa, tap_impl=tap)))
+            m = OccNet(c)
+            o1 = np.asarray(m.apply(params, img, ego2img)["occ"], np.float32)
+            o2 = np.asarray(m.apply(params, img2, e2i2)["occ"], np.float32)
+            outs[(lift, tap)] = (o1, o2)
+            # batch consistency within one impl
+            np.testing.assert_allclose(o2[:1], o1, rtol=0, atol=5e-2)
+    ref1, ref2 = outs[("einsum", "xla")]
+    for k, (o1, o2) in outs.items():
+        np.testing.assert_allclose(o1, ref1, rtol=0, atol=5e-2, err_msg=str(k))
+        np.testing.assert_allclose(o2, ref2, rtol=0, atol=5e-2, err_msg=str(k))
+
+
 def test_turbo_backward_and_temporal(turbo_setup):
     cfg, model, params, img, ego2img = turbo_setup
 

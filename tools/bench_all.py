@@ -215,7 +215,22 @@ def main():
     # --- the matrix -------------------------------------------------------
     pallas = {"model.encoder.sca.msda_impl": "pallas",
               "model.encoder.tsa.msda_impl": "pallas"}
+    # Ordered new-rows-first: the artifact is written incrementally after
+    # each case, so an interrupted run still lands the rows no prior round
+    # measured before it re-refreshes the known ones.
     cases = [
+        ("base_occ exact inference (per-cam topk, nuScenes rig)",
+         infer_case("base_occ", rig="nuscenes", auto_topk=True, **pallas)),
+        # R=2 = what tools/test.py's auto radius probe certifies on
+        # near-init offsets (the certificate is re-checked here)
+        ("turbo_r101_dcn_occ inference (R=2 certified)",
+         infer_case("turbo_r101_dcn_occ", certify=True,
+                    **{"model.backbone.dcn_window_radius": 2})),
+        ("turbo_r101_dcn_occ train step",
+         train_case("turbo_r101_dcn_occ", iters=3)),
+        ("r101_dcn_occ train step", train_case("r101_dcn_occ", iters=3)),
+        ("turbo_r101_dcn_occ temporal streaming",
+         temporal_stream_case("turbo_r101_dcn_occ")),
         ("turbo_occ inference", infer_case("turbo_occ")),
         ("turbo_occ inference batch2", infer_case("turbo_occ",
                                                   batch_size=2)),
@@ -223,26 +238,34 @@ def main():
         ("base_occ exact inference (pallas msda)",
          infer_case("base_occ", **pallas)),
         ("base_occ exact inference (xla msda)", infer_case("base_occ")),
-        ("base_occ exact inference (per-cam topk, nuScenes rig)",
-         infer_case("base_occ", rig="nuscenes", auto_topk=True, **pallas)),
         ("base_occ exact train step", train_case("base_occ", iters=3)),
         ("r101_dcn_occ inference", infer_case("r101_dcn_occ", **pallas)),
         ("turbo_r101_dcn_occ inference", infer_case("turbo_r101_dcn_occ")),
-        # R=2 = what tools/test.py's auto radius probe certifies on
-        # near-init offsets (the certificate is re-checked here)
-        ("turbo_r101_dcn_occ inference (R=2 certified)",
-         infer_case("turbo_r101_dcn_occ", certify=True,
-                    **{"model.backbone.dcn_window_radius": 2})),
-        ("r101_dcn_occ train step", train_case("r101_dcn_occ", iters=3)),
-        ("turbo_r101_dcn_occ train step",
-         train_case("turbo_r101_dcn_occ", iters=3)),
-        ("turbo_r101_dcn_occ temporal streaming",
-         temporal_stream_case("turbo_r101_dcn_occ")),
         ("tiny_occ train step", train_case("tiny_occ")),
         ("turbo_occ temporal streaming", temporal_stream_case("turbo_occ")),
         ("turbo_occ temporal train step (2-frame queue)",
          temporal_train_case("turbo_occ")),
     ]
+
+    def write_out(rows):
+        # Merge with existing artifact rows so (a) filtered runs refresh in
+        # place and (b) an interrupted run still leaves the FULL matrix with
+        # every completed row updated.  Atomic replace: never a torn file.
+        merged = {}
+        if os.path.exists(args.out):
+            with open(args.out) as f:
+                merged = {r["name"]: r for r in json.load(f).get("rows", [])}
+        merged.update({r["name"]: r for r in rows})
+        order = [n for n, _ in cases]
+        out_rows = sorted(merged.values(),
+                          key=lambda r: (order.index(r["name"])
+                                         if r["name"] in order
+                                         else len(order)))
+        tmp = args.out + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"iters": args.iters, "rows": out_rows}, f, indent=1)
+        os.replace(tmp, args.out)
+        return out_rows
 
     rows = []
     for name, fn in cases:
@@ -259,20 +282,10 @@ def main():
         row["bench_wall_s"] = round(time.time() - t0, 1)
         rows.append(row)
         print(json.dumps(row), flush=True)
+        write_out(rows)   # incremental: each row lands as it completes
 
-    # A filtered run refreshes rows in place: keep every existing row the
-    # filter skipped so the artifact stays the FULL matrix.
-    if (args.only or args.skip) and os.path.exists(args.out):
-        with open(args.out) as f:
-            old = {r["name"]: r for r in json.load(f).get("rows", [])}
-        old.update({r["name"]: r for r in rows})
-        order = [n for n, _ in cases]
-        rows = sorted(old.values(), key=lambda r: (order.index(r["name"])
-                                                   if r["name"] in order
-                                                   else len(order)))
-    with open(args.out, "w") as f:
-        json.dump({"iters": args.iters, "rows": rows}, f, indent=1)
-    print(f"wrote {args.out} ({len(rows)} rows)", flush=True)
+    out_rows = write_out(rows)
+    print(f"wrote {args.out} ({len(out_rows)} rows)", flush=True)
 
 
 if __name__ == "__main__":
