@@ -45,12 +45,24 @@ GROUND_ID = OCC_CLASS_NAMES.index("driveable_surface")      # 10
 
 # Class-determined planar velocity (m/s) for the flow classes: fixed per
 # class so single-frame appearance determines flow (random per-box motion
-# would be unlearnable from one frame).
+# would be unlearnable from one frame).  Speeds are SPREAD over 0.5-3.0 m/s
+# rather than uniform: with every class at |v|=1.5 a predict-zero flow head
+# scores mAVE=1.5 and the metric is nearly unfalsifiable (VERDICT r4 weak
+# #5); with the spread the zero-predictor baseline is the class-mean speed
+# (1.75 m/s) and a learned head must separate classes to beat it.
 _N_FLOW = len(FLOW_CLASS_NAMES)
 CLASS_VELOCITY = np.zeros((len(OCC_CLASS_NAMES), 2), np.float32)
 for _c in range(_N_FLOW):
     _a = 2.0 * np.pi * _c / _N_FLOW
-    CLASS_VELOCITY[_c] = (1.5 * np.cos(_a), 1.5 * np.sin(_a))
+    _s = 0.5 + 2.5 * _c / max(_N_FLOW - 1, 1)
+    CLASS_VELOCITY[_c] = (_s * np.cos(_a), _s * np.sin(_a))
+
+
+def _flow_of(sem: np.ndarray) -> np.ndarray:
+    """(X,Y,Z) sem -> (X,Y,Z,2) class-determined flow."""
+    flow = CLASS_VELOCITY[sem]
+    flow[sem == FREE_ID] = 0.0
+    return np.ascontiguousarray(flow, np.float32)
 
 
 def class_palette() -> np.ndarray:
@@ -100,9 +112,7 @@ def make_scene(
             continue
         sem[x:x + ex, y:y + ey, 1:1 + ez] = c
 
-    flow = CLASS_VELOCITY[sem]
-    flow[sem == FREE_ID] = 0.0
-    return sem, np.ascontiguousarray(flow, np.float32)
+    return sem, _flow_of(sem)
 
 
 def ring_camera_rig(
@@ -265,9 +275,13 @@ class SyntheticOccDataset:
             # whole array on EVERY [] access, so indexing z["imgs"][i] in
             # the loop would decompress ~n x full-array (measured: 78 GB RSS
             # and minutes of CPU at 256 base-scale scenes)
-            imgs, sem, flow = z["imgs"], z["sem"], z["flow"]
-            self.samples = [(imgs[i], sem[i], flow[i])
-                            for i in range(n_samples)]
+            imgs, sem = z["imgs"], z["sem"]
+            # flow is recomputed from sem (not read from the cache): the
+            # rendered images depend only on sem, so the cache stays valid
+            # across CLASS_VELOCITY revisions
+            self.samples = [
+                (imgs[i], sem[i], _flow_of(sem[i]))
+                for i in range(n_samples)]
             if log is not None:
                 log(f"synthetic scenes: {n_samples} loaded from {cache}")
         else:
@@ -291,8 +305,7 @@ class SyntheticOccDataset:
                 np.savez_compressed(
                     cache,
                     imgs=np.stack([s[0] for s in self.samples]),
-                    sem=np.stack([s[1] for s in self.samples]),
-                    flow=np.stack([s[2] for s in self.samples]))
+                    sem=np.stack([s[1] for s in self.samples]))
                 if log is not None:
                     log(f"synthetic scenes: cached to {cache}")
 

@@ -89,10 +89,16 @@ def occ_flow_loss(
     # branch never assigns loss_flow (`bevformer_occ_head.py:184-190`, a
     # latent UnboundLocalError — dead code, configs ship use_mask=False);
     # this implements the evidently-intended masked flow L1.
-    # mmdet `CrossEntropyLoss(class_weight=...)` semantics (torch
-    # F.cross_entropy): per-voxel loss scaled by weight[label], mean
-    # normalised by the weight sum.  () = the shipped configs' unweighted CE.
+    # Weighted CE uses the *torch F.cross_entropy* reduction (per-voxel loss
+    # scaled by weight[label], mean normalised by sum of applied weights) —
+    # deliberately NOT mmdet's `CrossEntropyLoss(class_weight=...)`, whose
+    # weight_reduce_loss divides by numel.  The shipped reference configs use
+    # unweighted CE (the () default) where the two agree; if a reference
+    # config with class_weight is ever ported, port the reduction too.
     if loss_cfg.class_weights:
+        assert len(loss_cfg.class_weights) == num_classes, (
+            f"class_weights has {len(loss_cfg.class_weights)} entries for "
+            f"{num_classes} classes (jnp gather would silently clamp)")
         cw = jnp.asarray(loss_cfg.class_weights, jnp.float32)
         w = cw[labels]
     else:
@@ -100,7 +106,7 @@ def occ_flow_loss(
     if loss_cfg.use_mask and mask_camera is not None:
         m = mask_camera.reshape(-1).astype(jnp.float32)
         wm = m if w is None else w * m
-        loss_occ = (ce * wm).sum() / jnp.maximum(wm.sum(), 1.0)
+        loss_occ = (ce * wm).sum() / jnp.maximum(wm.sum(), 1e-6)
         denom = jnp.maximum(m.sum(), 1.0)
         loss_flow = (l1.reshape(-1, 2) * m[:, None]).sum() / (denom * 2.0)
     elif w is not None:

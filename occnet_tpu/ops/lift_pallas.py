@@ -229,7 +229,16 @@ def _pass1w(pos, feat_kc):
     p = pos.reshape(A, N // nb, nb, ZR // zrb, zrb)
     wskip = jnp.max(p, axis=(2, 4)) <= -3.0        # all order-killed
     zidx = jax.lax.broadcasted_iota(jnp.int32, wskip.shape, 2)
-    zsel = jnp.where(wskip, nzb, zidx)             # (A, N/nb, ZR/zrb)
+    # z-block 0 is NEVER routed to trash: every dead zr row's pass-2 index
+    # map reads compact row 0 (`_compact_order`), and for a camera with ZERO
+    # live rows in this order compact row 0 is itself dead — if its block
+    # were write-skipped, pass-2 would contract 0-weights against
+    # UNINITIALISED memory, which is only correct while the stale bits
+    # happen to be finite (0 * NaN = NaN).  This was the r4 turbo eval
+    # failure: all-NaN occ logits whenever the buffer previously held NaN
+    # bit patterns (SYNTH_BENCH RayIoU 4e-05, bit-identical across
+    # checkpoints).  One zero-written block per (a, n) is the entire cost.
+    zsel = jnp.where(wskip & (zidx > 0), nzb, zidx)  # (A, N/nb, ZR/zrb)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(A, N // nb, ZR // zrb),
@@ -258,9 +267,11 @@ def _pass1w(pos, feat_kc):
     return out
 
 
-def _pass1_bwd_kernel(pos_ref, g_ref, out_ref):
-    # pos (1, nb, 1, zrb); g (zrb, 1, nb, C); out (1, nb, K, C), accumulated
-    # over the zr grid dimension (innermost; block index ignores it)
+def _pass1_bwd_kernel(sp_ref, pos_ref, g_ref, out_ref):
+    # sp: unused scalar-prefetch (see _pass1_bwd); pos (1, nb, 1, zrb);
+    # g (zrb, 1, nb, C); out (1, nb, K, C), accumulated over the zr grid
+    # dimension (innermost; block index ignores it)
+    del sp_ref
     K = out_ref.shape[2]
     zc = pl.program_id(2)
 
@@ -279,25 +290,40 @@ def _pass1_bwd_kernel(pos_ref, g_ref, out_ref):
                 preferred_element_type=jnp.float32).astype(out_ref.dtype)
 
 
-def _pass1_bwd(pos, g_tmp, K):
+def _pass1_bwd(sp, pos, g_tmp, K):
     """Transpose of `_pass1`: g (ZR_pad, A, N_pad, C) -> dfeat_kc
-    (A, N_pad, K, C) f32."""
+    (A, N_pad, K, C) f32.
+
+    ``sp`` is a BATCHED int32 array used ONLY as a scalar-prefetch operand:
+    this kernel reads `pl.program_id` and revisits its output block across
+    the innermost grid axis, and jax's regular pallas vmap rule PREPENDS a
+    batch grid dimension — which silently shifts every program_id and turns
+    the zero-init/accumulate logic into gradient corruption at B >= 2.  A
+    batch-mapped scalar-prefetch operand forces the `_batch_with_explicit_
+    loop` fallback (one unbatched call per batch element), under which the
+    kernel's grid assumptions hold.  (`_pass1w`/`_pass2_compact` are safe
+    for the same reason: their real scalar tables are batch-mapped.)"""
     ZR, A, N, C = g_tmp.shape
     nb, zrb = min(_NB, N), min(_ZRB, ZR)
-    return pl.pallas_call(
-        _pass1_bwd_kernel,
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(A, N // nb, ZR // zrb),
         in_specs=[
-            pl.BlockSpec((1, nb, 1, zrb), lambda a, n, z: (a, n, 0, z),
+            pl.BlockSpec((1, nb, 1, zrb), lambda a, n, z, sp: (a, n, 0, z),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((zrb, 1, nb, C), lambda a, n, z: (z, a, n, 0),
+            pl.BlockSpec((zrb, 1, nb, C), lambda a, n, z, sp: (z, a, n, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, nb, K, C), lambda a, n, z: (a, n, 0, 0),
+        out_specs=pl.BlockSpec((1, nb, K, C),
+                               lambda a, n, z, sp: (a, n, 0, 0),
                                memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        _pass1_bwd_kernel,
+        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((A, N, K, C), jnp.float32),
         interpret=_interpret(),
-    )(pos, g_tmp)
+    )(sp, pos, g_tmp)
 
 
 # ---------------------------------------------------------------------------
@@ -560,9 +586,11 @@ def _lift_level_bwd(ZR, bev_h, out_dtype, hw, res, g):
     g_pad = _pad_axis(g.astype(jnp.bfloat16), 0, ZRp, 0)
     g_tmpA, g_tmpB = _pass2_bwd(pos2A, pos2B, inv_count, g_pad, w_pad, h_pad,
                                 bev_h)
-    # order A resamples over image y (K = h); order B over image x (K = w)
-    dfeatT = _pass1_bwd(posA, g_tmpA, h)            # (A, w_pad, h, C)
-    dfeatB = _pass1_bwd(posB, g_tmpB, w)            # (A, h_pad, w, C)
+    # order A resamples over image y (K = h); order B over image x (K = w).
+    # invA/invB serve as the batch-mapped scalar-prefetch operand that keeps
+    # `_pass1_bwd` vmap-safe (see its docstring) — their values are unused.
+    dfeatT = _pass1_bwd(invA, posA, g_tmpA, h)      # (A, w_pad, h, C)
+    dfeatB = _pass1_bwd(invB, posB, g_tmpB, w)      # (A, h_pad, w, C)
     dfeat = (jnp.swapaxes(dfeatT, 1, 2)[:, :, :w, :]
              + dfeatB[:, :h, :, :]).astype(jnp.bfloat16)
 

@@ -19,3 +19,28 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 
 assert len(jax.devices()) == 8, jax.devices()
+
+import pytest  # noqa: E402
+
+
+def pytest_addoption(parser):
+    parser.addoption(
+        "--slow", action="store_true", default=False,
+        help="also run tests marked slow (subprocess CLIs, multi-minute "
+             "model compiles) — the full suite takes ~1 h on this 1-core "
+             "host; the default tier is the fast one")
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: subprocess / multi-minute-compile tests, "
+                   "excluded from the default tier (opt in with --slow)")
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--slow"):
+        return
+    skip = pytest.mark.skip(reason="slow tier: run with --slow")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)

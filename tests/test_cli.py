@@ -9,6 +9,11 @@ import pickle
 import sys
 
 import numpy as np
+import pytest
+
+# Every test here spawns fresh-process tools/{train,test}.py runs that
+# recompile from scratch on this 1-core host (minutes each) — slow tier.
+pytestmark = pytest.mark.slow
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 

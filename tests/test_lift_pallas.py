@@ -84,3 +84,56 @@ def test_pallas_lift_grads_match():
         a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
         scale = max(np.abs(a).max(), 1e-3)
         assert np.abs(a - b).max() / scale < 0.04, np.abs(a - b).max()
+
+
+def test_pallas_lift_batch2_grads_match_per_sample():
+    """Vmapped (B=2) gradients == per-sample gradients.
+
+    Regression for the r4/r5 lift backward bug: `_pass1_bwd`'s kernel reads
+    `pl.program_id`, and jax's regular pallas vmap rule PREPENDS a batch grid
+    dimension, silently shifting every program_id — corrupting gradients at
+    B >= 2 until the kernel was routed through the explicit-loop batching
+    path via a batch-mapped scalar-prefetch operand."""
+    rng = np.random.RandomState(3)
+    feats = _feats(rng, ch=8, strides=(16,), batch=2)
+    ego2img = _ring_cameras(batch=2)
+    # bev_h=33 x num_z=4 -> ZR=132 > _ZRB=128, i.e. TWO zr grid blocks: the
+    # old bug only corrupts when the accumulation axis has >1 block (with a
+    # single block the shifted zero-init condition is accidentally correct)
+    cot = jnp.asarray(rng.randn(2, 1, 4, 33 * 14, 8).astype(np.float32))
+
+    def loss(fs, e2i, c):
+        u, _ = lift_and_average_pallas(fs, e2i, PC_RANGE, 4, (33, 14),
+                                       IMG_HW)
+        return jnp.sum(u.astype(jnp.float32) * c)
+
+    g2 = jax.grad(loss)(feats, ego2img, cot)
+    for bi in range(2):
+        g1 = jax.grad(loss)([f[bi:bi + 1] for f in feats],
+                            ego2img[bi:bi + 1], cot[bi:bi + 1])
+        for a, b in zip(g2, g1):
+            a = np.asarray(a, np.float32)[bi]
+            b = np.asarray(b, np.float32)[0]
+            assert np.isfinite(a).all()
+            scale = max(np.abs(b).max(), 1e-3)
+            assert np.abs(a - b).max() / scale < 1e-5, np.abs(a - b).max()
+
+
+def test_pallas_lift_windowed_batch2_matches_einsum():
+    """B=2 forward through the `_pass1w` windowed/write-skip kernel (feature
+    maps wider than _WB=32) matches the einsum oracle and is finite.
+
+    Regression for the r4 turbo eval NaN: a camera with ZERO live rows in a
+    pass order had its whole tmp slab write-skipped, so pass-2 contracted
+    zero weights against uninitialised memory (0 * NaN = NaN whenever the
+    stale bits were non-finite); z-block 0 is now always written."""
+    rng = np.random.RandomState(4)
+    feats = _feats(rng, ch=8, strides=(2,), batch=2)   # (32, 48): w > _WB
+    ego2img = _ring_cameras(batch=2)
+    a1, c1 = lift_and_average(feats, ego2img, PC_RANGE, 4, (14, 14), IMG_HW)
+    a2, c2 = lift_and_average_pallas(feats, ego2img, PC_RANGE, 4, (14, 14),
+                                     IMG_HW)
+    assert np.isfinite(np.asarray(a2, np.float32)).all()
+    np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+    d = np.abs(np.asarray(a1, np.float32) - np.asarray(a2, np.float32))
+    assert d.max() < 0.05, d.max()

@@ -5,6 +5,7 @@ path): global_batch produces data-axis-sharded global arrays on the virtual
 import os
 
 import numpy as np
+import pytest
 
 import jax
 
@@ -76,6 +77,7 @@ def _run_two_process(mode, tmp_path, timeout, extra=()):
     return outs
 
 
+@pytest.mark.slow
 def test_two_process_localhost(tmp_path):
     """REAL multi-process coverage (2 CPU processes x 2 virtual devices via
     jax.distributed on localhost): allgather_host incl. the 64-bit split
@@ -83,6 +85,7 @@ def test_two_process_localhost(tmp_path):
     _run_two_process("basic", tmp_path, timeout=600)
 
 
+@pytest.mark.slow
 def test_two_process_checkpoint(tmp_path):
     """Collective orbax save/restore of a replicated TrainState across 2
     processes — regression for 'Cannot serialize host local jax.Array in
@@ -105,6 +108,7 @@ _VIDEO_OVERRIDES = [
 ]
 
 
+@pytest.mark.slow
 def test_two_process_video_cross_shard(tmp_path):
     """tools/test.py --distributed --video with ONE scene spanning the
     contiguous shard cut: proc1 starts a fresh temporal chain mid-scene
@@ -155,6 +159,7 @@ def test_two_process_video_cross_shard(tmp_path):
     assert delta < 0.2, (s1, s2)
 
 
+@pytest.mark.slow
 def test_two_process_qshard(tmp_path):
     """EXECUTED BEV-query-sharded (model-axis) train step on a 2-process
     dp=2 x mp=2 mesh — the resharding collectives run through the

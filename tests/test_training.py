@@ -141,6 +141,7 @@ print("MESH_OK", losses)
 """
 
 
+@pytest.mark.slow
 def test_mesh_train_step_subprocess():
     """DP+model-axis mesh execution, isolated in a subprocess with retries
     (the rendezvous abort is a hard process kill)."""

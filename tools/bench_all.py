@@ -152,6 +152,7 @@ def main():
             dt = timeit(one, iters=iters or args.iters)
             fl = flops_of(step, holder["s"], batch, key)
             return {"value": round(dt * 1e3, 1), "unit": "ms/step",
+                    "iters": iters or args.iters,
                     "achieved_tfs": round(fl / dt / 1e12, 2),
                     "mfu_peak": round(fl / dt / 1e12 / PEAK_BF16_TFS, 4),
                     "narrow_dim_tfs_ceiling": NARROW_DIM_TFS_CEILING}
@@ -250,20 +251,26 @@ def main():
     def write_out(rows):
         # Merge with existing artifact rows so (a) filtered runs refresh in
         # place and (b) an interrupted run still leaves the FULL matrix with
-        # every completed row updated.  Atomic replace: never a torn file.
+        # every completed row updated.  On a full (unfiltered) run, rows whose
+        # names left the case matrix are dropped so renames can't leave stale
+        # entries behind; each row records the --iters it was measured under.
+        # Atomic replace: never a torn file.
+        order = [n for n, _ in cases]
         merged = {}
         if os.path.exists(args.out):
             with open(args.out) as f:
                 merged = {r["name"]: r for r in json.load(f).get("rows", [])}
-        merged.update({r["name"]: r for r in rows})
-        order = [n for n, _ in cases]
+            if not args.only and not args.skip:
+                merged = {n: r for n, r in merged.items() if n in order}
+        for r in rows:
+            merged[r["name"]] = {**r, "iters": r.get("iters", args.iters)}
         out_rows = sorted(merged.values(),
                           key=lambda r: (order.index(r["name"])
                                          if r["name"] in order
                                          else len(order)))
         tmp = args.out + ".tmp"
         with open(tmp, "w") as f:
-            json.dump({"iters": args.iters, "rows": out_rows}, f, indent=1)
+            json.dump({"rows": out_rows}, f, indent=1)
         os.replace(tmp, args.out)
         return out_rows
 
