@@ -177,6 +177,12 @@ class LossConfig:
     # reference configs).  Used by the synthetic benchmark, where free+ground
     # are ~95% of voxels and unweighted CE starves the box classes.
     class_weights: Tuple[float, ...] = ()
+    # L1 flow weight on voxels whose GT label is a flow class (< 8), with
+    # weighted-mean reduction.  1.0 = the reference's plain element mean
+    # (`bevformer_occ_head.py:193`), under which flow-class voxels (~1% of
+    # the grid) contribute ~1% of the flow gradient — measured on the
+    # synthetic benchmark: mAVE 1.38 vs a 1.48 predict-zero baseline.
+    flow_fg_weight: float = 1.0
 
 
 @dataclass(frozen=True)
@@ -321,7 +327,11 @@ def synth_tiny_occ() -> OccNetConfig:
     cw = [5.0] * 17
     cw[10] = 0.5            # driveable_surface (ground plane)
     cw[16] = 0.05           # free
-    loss = dataclasses.replace(cfg.loss, class_weights=tuple(cw))
+    # flow_fg_weight 50: flow-class voxels are ~1-2% of the grid, so the
+    # plain element mean gives them ~1% of the flow gradient (measured:
+    # mAVE 1.38 vs the 1.48 predict-zero baseline); at 50 they carry ~half.
+    loss = dataclasses.replace(cfg.loss, class_weights=tuple(cw),
+                               flow_fg_weight=50.0)
     return dataclasses.replace(cfg, model=model, eval=ev, optim=optim,
                                loss=loss)
 

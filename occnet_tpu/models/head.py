@@ -103,18 +103,29 @@ def occ_flow_loss(
         w = cw[labels]
     else:
         w = None
+    def flow_mean(extra_mask=None):
+        """Weighted flow L1 mean: flow_fg_weight on voxels whose GT label
+        is a flow class (< 8), optional camera mask on top."""
+        l1f = l1.reshape(-1, 2)
+        if loss_cfg.flow_fg_weight == 1.0 and extra_mask is None:
+            return l1f.mean()
+        fw = jnp.where(labels < 8, loss_cfg.flow_fg_weight, 1.0)
+        if extra_mask is not None:
+            fw = fw * extra_mask
+        return ((l1f * fw[:, None]).sum()
+                / jnp.maximum(fw.sum() * 2.0, 1e-6))
+
     if loss_cfg.use_mask and mask_camera is not None:
         m = mask_camera.reshape(-1).astype(jnp.float32)
         wm = m if w is None else w * m
         loss_occ = (ce * wm).sum() / jnp.maximum(wm.sum(), 1e-6)
-        denom = jnp.maximum(m.sum(), 1.0)
-        loss_flow = (l1.reshape(-1, 2) * m[:, None]).sum() / (denom * 2.0)
+        loss_flow = flow_mean(m)
     elif w is not None:
         loss_occ = (ce * w).sum() / jnp.maximum(w.sum(), 1e-6)
-        loss_flow = l1.mean()
+        loss_flow = flow_mean()
     else:
         loss_occ = ce.mean()
-        loss_flow = l1.mean()
+        loss_flow = flow_mean()
     return loss_cfg.occ_weight * loss_occ, loss_cfg.flow_weight * loss_flow
 
 

@@ -121,3 +121,27 @@ def test_train_mode_runs(setup):
         mutable=["batch_stats"])
     assert np.isfinite(np.asarray(outs["occ"])).all()
     assert "batch_stats" in mutated
+
+
+def test_flow_fg_weight_semantics():
+    """`LossConfig.flow_fg_weight`: weighted-mean flow L1 with weight w on
+    voxels whose GT label is a flow class (< 8); 1.0 = plain element mean
+    (the reference's `bevformer_occ_head.py:193` semantics)."""
+    import dataclasses
+    from occnet_tpu.config import LossConfig
+    rng = np.random.RandomState(1)
+    logits = jnp.asarray(rng.randn(1, 4, 4, 2, 17).astype(np.float32))
+    labels = jnp.asarray(rng.randint(0, 17, (1, 4, 4, 2)).astype(np.int32))
+    pred = jnp.asarray(rng.randn(1, 4, 4, 2, 2).astype(np.float32))
+    gt = jnp.asarray(rng.randn(1, 4, 4, 2, 2).astype(np.float32))
+    base = LossConfig()
+    _, lf1 = occ_flow_loss(logits, pred, labels, gt, base)
+    np.testing.assert_allclose(
+        float(lf1), 0.25 * float(jnp.abs(pred - gt).mean()), rtol=1e-6)
+    _, lf2 = occ_flow_loss(logits, pred, labels, gt,
+                           dataclasses.replace(base, flow_fg_weight=50.0))
+    lab = np.asarray(labels).reshape(-1)
+    l1 = np.abs(np.asarray(pred - gt)).reshape(-1, 2)
+    fw = np.where(lab < 8, 50.0, 1.0)
+    want = 0.25 * (l1 * fw[:, None]).sum() / (fw.sum() * 2)
+    np.testing.assert_allclose(float(lf2), want, rtol=1e-5)
