@@ -204,13 +204,22 @@ class ResNet(nn.Module):
                     if dcn_idx < len(self.dcn_window_radii):
                         radius = self.dcn_window_radii[dcn_idx]
                     dcn_idx += 1
-                x = Bottleneck(mid, stride=stride,
-                               dcn=self.dcn_stages[stage],
-                               dcn_mode=self.dcn_mode,
-                               dcn_window_radius=radius,
-                               norm_eval=self.norm_eval,
-                               dtype=self.dtype,
-                               name=f"layer{stage + 1}_{b}")(x, train=train)
+                # DCN blocks are rematerialised in training: their sampling
+                # kernels otherwise keep ~216 MB of 9-tap residuals PER BLOCK
+                # for the backward (23 blocks in R101 layer3), which blows the
+                # 16 GB HBM at base scale (measured: 19.0 GB for the
+                # turbo_r101_dcn train step).  Recompute-in-backward trades
+                # one extra block forward for ~5 GB of residual memory.
+                block_cls = Bottleneck
+                if self.dcn_stages[stage] and train:
+                    block_cls = nn.remat(Bottleneck, static_argnums=(2,))
+                x = block_cls(mid, stride=stride,
+                              dcn=self.dcn_stages[stage],
+                              dcn_mode=self.dcn_mode,
+                              dcn_window_radius=radius,
+                              norm_eval=self.norm_eval,
+                              dtype=self.dtype,
+                              name=f"layer{stage + 1}_{b}")(x, train)
             if stage + 1 <= self.frozen_stages:
                 x = jax.lax.stop_gradient(x)
             if stage in self.out_indices:
