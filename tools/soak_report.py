@@ -42,8 +42,10 @@ def main():
     first, last = sit[:q], sit[-q:]
     mean = lambda xs: sum(xs) / len(xs)  # noqa: E731
 
+    ckpt_dirs = [args.work_dir, os.path.join(args.work_dir, "ckpts")]
     ckpt_steps = sorted(
-        int(d) for d in os.listdir(args.work_dir) if d.isdigit())
+        int(d) for root in ckpt_dirs if os.path.isdir(root)
+        for d in os.listdir(root) if d.isdigit())
 
     report = {
         "config": args.config or os.path.basename(

@@ -387,11 +387,22 @@ def main():
         # best-effort peak-HBM report (unavailable on some backends)
         stats = jax.local_devices()[0].memory_stats() or {}
         peak = stats.get("peak_bytes_in_use")
+        source = "runtime"
+        if not peak:
+            # axon/tunnel backends expose no runtime memory stats; fall back
+            # to the compiled train step's STATIC program requirement
+            # (temp + argument bytes — what the XLA OOM report calls
+            # "program hbm requirement"); compile is an on-disk cache hit.
+            ma = step_fn.lower(state, batch, key).compile().memory_analysis()
+            if ma is not None:
+                peak = (int(getattr(ma, "temp_size_in_bytes", 0))
+                        + int(getattr(ma, "argument_size_in_bytes", 0)))
+                source = "memory_analysis"
         if peak:
-            log.info("peak HBM: %.2f GiB", peak / 2 ** 30)
+            log.info("peak HBM (%s): %.2f GiB", source, peak / 2 ** 30)
             if events is not None:
                 events.write(total_steps, tag="hbm",
-                             peak_bytes_in_use=int(peak))
+                             peak_bytes_in_use=int(peak), source=source)
     except Exception:  # noqa: BLE001
         pass
     if events is not None:
