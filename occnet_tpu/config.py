@@ -211,6 +211,11 @@ class DataConfig:
     to_rgb: bool = False
     workers: int = 4
     shuffle: bool = True
+    # photometric distortion inside the on-device uint8 train pipeline
+    # (`make_device_train_augmenter`); off for the synthetic benchmark,
+    # whose class identity is colour-coded (measured: distortion kills the
+    # box classes — see SyntheticOccDataset.get_sample)
+    device_distortion: bool = True
     # GT grid (X, Y, Z) used for the zero-label fallback when a sample has
     # no labels.npz (test split, `pipelines/loading.py:21-33`).
     occ_size: Tuple[int, int, int] = (200, 200, 16)

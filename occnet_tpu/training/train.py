@@ -151,7 +151,8 @@ def make_train_step(cfg: OccNetConfig, model: OccNet):
     from occnet_tpu.data.pipeline import make_device_train_augmenter
 
     tx = None  # bound lazily against params structure on first call
-    augment = make_device_train_augmenter(cfg.data)
+    augment = make_device_train_augmenter(
+        cfg.data, distort=cfg.data.device_distortion)
 
     def loss_fn(params, batch_stats, batch, rng):
         rngs = {"dropout": jax.random.fold_in(rng, 0),

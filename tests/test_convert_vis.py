@@ -43,6 +43,7 @@ def _fake_torchvision_resnet50_sd():
     return sd
 
 
+@pytest.mark.slow
 def test_resnet_conversion_numerics():
     """Converted weights reproduce torch's forward on a small crop: compare
     our flax ResNet stem+block against a torch reimplementation of the same

@@ -97,6 +97,7 @@ def test_window_gradients_match_gather():
                                    rtol=1e-4, atol=1e-4, err_msg=f"arg {i}")
 
 
+@pytest.mark.slow
 def test_backbone_window_mode_sows_certificate():
     """DCN stages in window mode run and expose `dcn_window_overflow`
     intermediates; zero-init offsets (the mmcv init) certify exact."""
@@ -135,6 +136,7 @@ def test_kernel_variants_agree(monkeypatch):
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_needed_radius_is_tight():
     """`needed_radius` is exactly the smallest exact radius: certificate
     clean at R=needed (and values match gather), nonzero at R=needed-1."""
@@ -184,6 +186,7 @@ def test_dcn_layer_indices_map():
                    "layer4_0": 6, "layer4_1": 7, "layer4_2": 8}
 
 
+@pytest.mark.slow
 def test_backbone_per_layer_radii_and_needed_sow():
     """Per-layer `dcn_window_radii` plumb through ResNet, and every
     window-eligible DCN layer sows `dcn_radius_needed` (zero for the

@@ -67,6 +67,7 @@ def test_turbo_forward(turbo_setup):
     assert "deformable_attention" not in layer["cross_attn"]
 
 
+@pytest.mark.slow
 def test_turbo_eval_impl_parity_b1_b2(turbo_setup):
     """Eval-mode turbo forward must be identical (to accumulation tolerance)
     across lift/tap kernel implementations AND batch sizes: the r4 synthetic
@@ -96,6 +97,7 @@ def test_turbo_eval_impl_parity_b1_b2(turbo_setup):
         np.testing.assert_allclose(o2, ref2, rtol=0, atol=5e-2, err_msg=str(k))
 
 
+@pytest.mark.slow
 def test_turbo_backward_and_temporal(turbo_setup):
     cfg, model, params, img, ego2img = turbo_setup
 

@@ -175,6 +175,7 @@ def test_patch_matches_ref_formulation_and_grads():
                                    atol=3e-4, rtol=2e-4, err_msg=name)
 
 
+@pytest.mark.slow
 def test_pallas_kernel_matches_oracle_and_grads():
     """`ops/msda_pallas` (interpreter mode on the CPU test mesh) == torch
     grid_sample oracle == XLA patch formulation, forward and gradients."""

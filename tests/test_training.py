@@ -197,6 +197,7 @@ def test_checkpoint_roundtrip(tmp_path, trained):
     np.testing.assert_array_equal(a, b)
 
 
+@pytest.mark.slow
 def test_train_step_reports_certificate_overflow():
     """The exactness certificates must be visible to the TRAINER, not just
     eval (VERDICT r3 #2): with top-K compaction forced below the visible
@@ -229,6 +230,7 @@ def test_train_step_reports_certificate_overflow():
     assert int(metrics["cert_overflow"]) == 0
 
 
+@pytest.mark.slow
 def test_train_step_uint8_device_normalize():
     """A raw-uint8 batch (--device-normalize loader) runs distortion +
     normalise + pad inside the step and trains to a finite loss; init sees

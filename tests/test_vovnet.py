@@ -21,6 +21,7 @@ def _init(spec, hw=(64, 96), frozen_stages=-1):
     return model, variables, x
 
 
+@pytest.mark.slow
 def test_all_seven_specs_build_and_forward():
     assert len(VOVNET_SPECS) == 7
     for spec, s in VOVNET_SPECS.items():
@@ -45,6 +46,7 @@ def test_ceil_maxpool_matches_torch_ceil_mode():
         np.testing.assert_allclose(ours, ref, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_frozen_stages_cut_gradients():
     model, variables, x = _init("V-19-slim-eSE", frozen_stages=1)
 

@@ -193,17 +193,23 @@ def main():
             raise SystemExit("--synthetic-geometric generates one frame per "
                              "scene; no clips for --temporal-queue")
         from occnet_tpu.data.synthetic import SyntheticOccDataset
+        if args.device_normalize:
+            # raw-uint8 upload; the device pipeline normalises, with the
+            # colour-destroying photometric distortion disabled (synthetic
+            # class identity is colour-coded)
+            cfg = apply_overrides(cfg, {"data.device_distortion": False})
         # disjoint seed ranges: val = seeds [0, n_val), train = [1000, ...)
         dataset = SyntheticOccDataset(
             cfg.data, cfg.model, args.synthetic_geometric, seed=1000,
             training=True, render_scale=args.synthetic_render_scale,
-            log=log.info)
+            log=log.info, device_normalize=args.device_normalize)
         if args.eval_interval_epochs or args.eval_dynamic_intervals:
             val_dataset = SyntheticOccDataset(
                 cfg.data, cfg.model,
                 max(8, args.synthetic_geometric // 16), seed=0,
                 training=False,
-                render_scale=args.synthetic_render_scale)
+                render_scale=args.synthetic_render_scale,
+                device_normalize=args.device_normalize)
         steps_per_epoch = max(len(dataset) // global_batch, 1)
         cfg = apply_overrides(cfg, {"optim.steps_per_epoch": steps_per_epoch})
         log.info("synthetic-geometric dataset: %d scenes, %d steps/epoch",
