@@ -18,6 +18,13 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 
+# Persistent compilation cache: CPU compiles dominate suite wall-clock on
+# this 1-core host (fast tier: 16 min cold); a warm cache cuts repeat runs
+# to the actual execution time.
+from occnet_tpu.utils import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache("/root/.cache/jax_comp_cache_tests")
+
 assert len(jax.devices()) == 8, jax.devices()
 
 import pytest  # noqa: E402
