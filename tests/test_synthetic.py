@@ -142,3 +142,31 @@ def test_dataset_scene_cache_roundtrip(tmp_path):
     # a different seed must MISS the cache (distinct key -> second file)
     SyntheticOccDataset(data, model, 2, seed=4, cache_dir=d)
     assert len([f for f in os.listdir(d) if f.endswith(".npz")]) == 2
+
+
+def test_device_normalize_uint8_bitwise_matches_host_path():
+    """`SyntheticOccDataset(device_normalize=True)` ships raw uint8 and the
+    jitted device pipeline (distortion off) must produce bitwise the same
+    normalised images as the host float path (r5: 4x less H2D, measured
+    2.8 -> 0.35 s/it at base scale through the tunnel)."""
+    import dataclasses
+    import jax.numpy as jnp
+    from occnet_tpu.config import get_config
+    from occnet_tpu.data.pipeline import (make_device_normalizer,
+                                          make_device_train_augmenter)
+    from occnet_tpu.data.synthetic import SyntheticOccDataset
+
+    cfg = get_config("synth_tiny_occ")
+    kw = dict(n_samples=2, seed=0, training=False)
+    host = SyntheticOccDataset(cfg.data, cfg.model, **kw)
+    dev = SyntheticOccDataset(cfg.data, cfg.model, device_normalize=True,
+                              **kw)
+    s_host = host.get_sample(0)
+    s_dev = dev.get_sample(0)
+    assert s_dev["img"].dtype == np.uint8
+    norm = make_device_normalizer(cfg.data)
+    aug = make_device_train_augmenter(cfg.data, distort=False)
+    out_n = np.asarray(norm(jnp.asarray(s_dev["img"])))
+    out_a = np.asarray(aug(None, jnp.asarray(s_dev["img"])))
+    np.testing.assert_array_equal(out_n, s_host["img"].astype(np.float32))
+    np.testing.assert_array_equal(out_a, s_host["img"].astype(np.float32))
