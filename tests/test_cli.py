@@ -337,7 +337,9 @@ def test_train_cli_temporal_queue(tmp_path):
     # step with the scalar set the reference's logger hooks carry
     with open(os.path.join(work, "metrics.jsonl")) as f:
         events = [json.loads(line) for line in f]
-    assert events and events[-1]["tag"] == "train"
+    # a peak-HBM event may follow the final train event (r5)
+    train_events = [e for e in events if e.get("tag") == "train"]
+    assert train_events
     for key in ("loss", "loss_occ", "loss_flow", "grad_norm", "lr",
                 "s_per_it"):
-        assert np.isfinite(events[-1][key]), key
+        assert np.isfinite(train_events[-1][key]), key
